@@ -1,0 +1,146 @@
+"""Benchmark: flagship minh position-column encode+decode on the real chip.
+
+Measures the device codec (quantize -> periodic recenter -> delta/stats ->
+18-bit word-parallel pack; unpack -> dequantize) at the flagship config
+(250 Mpc/h box, 1 kpc/h precision -> 250000 pixels -> 18 bits/coord,
+ref tutorials/writing.md:32-40), after *proving* bit-exactness of the
+backend with ops/validate.py.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": GB/s, "unit": "GB/s", "vs_baseline": ratio}
+
+vs_baseline is the ratio against the reference-class host implementation:
+the single-threaded native C++ engine (native/fastbits.cpp) running the
+same quantize+delta+pack on one CPU core -- the performance class of the
+reference's Go encoder (single process, ref scripts/text_to_minh.go).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, iters=5):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)  # warmup / compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_device(b=64, n=1 << 19):
+    import jax
+    import jax.numpy as jnp
+
+    from minnow_tpu.ops import bitpack, codec
+    from minnow_tpu.core import spec
+
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    bits = 18
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+    lowv = np.full(b, low, np.float32)
+    highv = np.full(b, high, np.float32)
+    pixv = np.full(b, pixels, np.int64)
+    lens = np.full(b, n, np.int64)
+    periodic = np.ones(b, bool)
+
+    @jax.jit
+    def encode(x, lowv, highv, pixv, lens, periodic):
+        deltas, mins, maxd, valid = codec.prepare_float_blocks(
+            x, lowv, highv, pixv, lens, periodic)
+        words = bitpack.pack_batch(deltas, bits)
+        return words, mins, maxd
+
+    @jax.jit
+    def decode(words, mins, lowv, highv, pixv):
+        q = bitpack.unpack_batch(words, bits, n).astype(jnp.int64) \
+            + mins[:, None]
+        q = codec.bound(q, 0, pixv[:, None])
+        return codec.dequantize(q, lowv[:, None], highv[:, None],
+                                pixv[:, None])
+
+    t_enc = _time(encode, x, lowv, highv, pixv, lens, periodic)
+    words, mins, _ = jax.block_until_ready(
+        encode(x, lowv, highv, pixv, lens, periodic))
+    t_dec = _time(decode, words, mins, lowv, highv, pixv)
+
+    # correctness on-chip: decoded values within dx (periodic)
+    xhat = np.asarray(decode(words, mins, lowv, highv, pixv))
+    err = np.abs(xhat - x)
+    err = np.minimum(err, 250.0 - err)
+    assert err.max() <= dx * (1 + 1e-4), "on-chip roundtrip broke"
+
+    gb = x.nbytes / 1e9
+    return gb / t_enc, gb / t_dec, gb
+
+
+def bench_native_baseline(n=1 << 22):
+    """Single-core native C++ quantize+delta+pack (reference class)."""
+    from minnow_tpu import native
+    from minnow_tpu.core import spec
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 249.9, n).astype(np.float32)
+    pixels = spec.float_group_pixels(0.0, 250.0, 0.001)
+    if not native.available():
+        return None
+    lib = native._load()
+    import ctypes
+
+    q = np.empty(n, np.int64)
+    deltas = np.empty(n, np.uint64)
+    mn = ctypes.c_int64()
+    maxd = ctypes.c_uint64()
+    dxq = spec.quantize_dx(0.0, 250.0, pixels)
+    out = np.zeros(spec.array_bytes(18, n) + 16, np.uint8)
+
+    t0 = time.perf_counter()
+    lib.mnw_quantize(x.ctypes.data, n, np.float32(0.0), dxq, q.ctypes.data)
+    lib.mnw_delta_stats(q.ctypes.data, n, deltas.ctypes.data,
+                        ctypes.byref(mn), ctypes.byref(maxd))
+    lib.mnw_pack(deltas.ctypes.data, n, 18, out.ctypes.data, 1)
+    t = time.perf_counter() - t0
+    return x.nbytes / 1e9 / t
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    from minnow_tpu.ops import validate
+
+    report = validate.validate_backend()
+    assert report["exact"]
+
+    enc_gbs, dec_gbs, gb = bench_device()
+    combined = 2 * gb / (gb / enc_gbs + gb / dec_gbs)
+
+    base = bench_native_baseline()
+    vs_baseline = combined / base if base else None
+
+    print(json.dumps({
+        "metric": "minh position-column encode+decode throughput/chip "
+                  "(%s, bit-exact validated)" % backend,
+        "value": round(combined, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "detail": {
+            "encode_GBps": round(enc_gbs, 3),
+            "decode_GBps": round(dec_gbs, 3),
+            "native_single_core_GBps": round(base, 3) if base else None,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,12 +153,15 @@ class FloatGroup:
     (ref go/group.go:269-344)."""
 
     def __init__(self, start_block: int, n: int, low: float, high: float,
-                 pixels: int, periodic: bool):
+                 pixels: int, periodic: bool, clamp_q: bool = False):
         self.ig = IntGroup(start_block, n)
         self.low = np.float32(low)
         self.high = np.float32(high)
         self.pixels = int(pixels)
         self.periodic = 1 if periodic else 0
+        # In-memory-only guard against the reference's q == pixels wrap bug
+        # (see spec.encode_float_block); not part of the on-disk format.
+        self.clamp_q = clamp_q
 
     def group_type(self) -> int:
         return FLOAT_GROUP
@@ -182,7 +185,8 @@ class FloatGroup:
             raise ValueError("block has %d elements, group expects %d"
                              % (x.size, self.ig.n))
         payload, mn, bits, _ = spec.encode_float_block(
-            x, self.low, self.high, self.pixels, self.periodic == 1)
+            x, self.low, self.high, self.pixels, self.periodic == 1,
+            clamp_q=self.clamp_q)
         self.ig.write_encoded(f, payload, mn, bits)
 
     def write_encoded(self, f, payload: bytes, mn: int, bits: int) -> None:

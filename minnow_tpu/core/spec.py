@@ -298,14 +298,25 @@ def decode_int_block(payload: bytes, mn: int, bits: int, n: int) -> np.ndarray:
 
 
 def encode_float_block(x, low: float, high: float, pixels: int,
-                       periodic: bool = True):
+                       periodic: bool = True, clamp_q: bool = False):
     """Quantize + (optional) periodic recentering + int coding of one
     float32 block (ref go/group.go:312-327).
+
+    ``clamp_q`` clamps pixel indices to ``pixels - 1``: float32 division
+    can round a value within one ulp of ``high`` up to exactly ``pixels``,
+    which the (always-on) periodic recentering then wraps to pixel 0 --
+    silently corrupting the block maximum of non-periodic data.  The
+    reference has this bug (SURVEY.md App. B #9: its minp nextafter nudge,
+    ref go/minp/minp.go:93-95, is narrower than the division rounding
+    error); we do not replicate it for non-periodic minp groups.  Default
+    False = reference-exact bytes.
 
     Returns ``(payload_bytes, min, bits, q)`` where ``q`` is the final
     (recentred) pixel array actually packed.
     """
     q = quantize(x, low, high, pixels)
+    if clamp_q:
+        q = np.minimum(q, pixels - 1)
     if periodic:
         m, valid = periodic_min_fast(q, pixels)
         if not valid:

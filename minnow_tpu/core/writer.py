@@ -89,16 +89,20 @@ class Writer:
         """Start a minimum-precision int64 group (ref go/writer.go:65-67)."""
         self._new_group(_groups.IntGroup(self.blocks, n))
 
-    def float_group(self, n: int, lim, dx: float) -> None:
+    def float_group(self, n: int, lim, dx: float,
+                    clamp_q: bool = False) -> None:
         """Start a quantized float32 group with limits ``lim=(low, high)``
         and precision ``dx``; data assumed periodic
-        (ref go/writer.go:72-75)."""
+        (ref go/writer.go:72-75).  ``clamp_q`` guards non-periodic data
+        against the reference's q == pixels wrap bug (see
+        spec.encode_float_block)."""
         from . import spec
 
         low, high = lim
         pixels = spec.float_group_pixels(low, high, dx)
         self._new_group(
-            _groups.FloatGroup(self.blocks, n, low, high, pixels, True))
+            _groups.FloatGroup(self.blocks, n, low, high, pixels, True,
+                               clamp_q=clamp_q))
 
     def _new_group(self, g) -> None:
         self._curr = g

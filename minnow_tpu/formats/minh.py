@@ -1,0 +1,297 @@
+"""minh: the halo-catalog file format (ref go/minh/minh.go).
+
+A minh file is a minnow container with a fixed 7-header layout
+(ref go/minh/minh.go:78-93,151-156; SURVEY.md App. A.4):
+
+  0: id ``{Magic=0xbaff1ed, Version=0, FileType}`` (3 int64)
+  1: free text bytes
+  2: column names joined by "$"
+  3: ``[]Column`` -- 256 bytes each
+  4: geometry ``{L f32, Boundary f32, Cells i64}``
+  5: block count (int64)
+  6: per-block lengths ([]int64)
+
+Data groups: one minnow group (with a single block) per (row-block,
+column); group index ``c + b*n_cols`` for basic files, ``c*blocks + b``
+for boundary files (ref go/minh/minh.go:279-306).
+
+Float columns with ``log != 0`` are log10'd on write and 10**x'd on read;
+all Float columns are clamped to ``[low, nextafter(high, -inf)]`` before
+quantization (ref go/minh/minh.go:141-149).  log10 uses the Go/fdlibm
+algorithm (ops/gomath.py) so files are byte-identical to the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+import struct
+
+import numpy as np
+
+from ..core import spec, types as ctypes_
+from ..core.writer import Writer as MinnowWriter
+from ..core.reader import Reader as MinnowReader
+from ..ops import gomath
+
+MAGIC = 0xBAFF1ED
+VERSION = 0
+
+BASIC_FILE_TYPE = 0
+BOUNDARY_FILE_TYPE = 1
+
+# Column type enum re-exported (same values as the minnow group enum,
+# ref go/minh/minh.go:25-38).
+Int64 = ctypes_.INT64_GROUP
+Int32 = ctypes_.INT32_GROUP
+Int16 = ctypes_.INT16_GROUP
+Int8 = ctypes_.INT8_GROUP
+Uint64 = ctypes_.UINT64_GROUP
+Uint32 = ctypes_.UINT32_GROUP
+Uint16 = ctypes_.UINT16_GROUP
+Uint8 = ctypes_.UINT8_GROUP
+Float64 = ctypes_.FLOAT64_GROUP
+Float32 = ctypes_.FLOAT32_GROUP
+Int = ctypes_.INT_GROUP
+Float = ctypes_.FLOAT_GROUP
+
+# On-disk 256-byte column record (ref go/minh/minh.go:50-55,79-82).
+COLUMN_DTYPE = np.dtype([
+    ("type", "<i8"),
+    ("log", "<i4"),
+    ("low", "<f4"),
+    ("high", "<f4"),
+    ("dx", "<f4"),
+    ("buffer", "V232"),
+])
+assert COLUMN_DTYPE.itemsize == 256
+
+
+@dataclass
+class Column:
+    """Column spec (ref go/minh/minh.go:50-55)."""
+
+    type: int = Int64
+    log: int = 0
+    low: float = 0.0
+    high: float = 0.0
+    dx: float = 0.0
+    buffer: bytes = field(default=b"", repr=False)
+
+    def to_record(self):
+        rec = np.zeros((), dtype=COLUMN_DTYPE)
+        rec["type"] = self.type
+        rec["log"] = self.log
+        rec["low"] = np.float32(self.low)
+        rec["high"] = np.float32(self.high)
+        rec["dx"] = np.float32(self.dx)
+        return rec
+
+    @classmethod
+    def from_record(cls, rec) -> "Column":
+        return cls(type=int(rec["type"]), log=int(rec["log"]),
+                   low=float(rec["low"]), high=float(rec["high"]),
+                   dx=float(rec["dx"]),
+                   buffer=bytes(rec["buffer"]))
+
+    def __str__(self):
+        return "{Type: %s, Log: %s, Range: (%g %g), Dx: %g}" % (
+            ctypes_.GROUP_NAMES[self.type], bool(self.log), self.low,
+            self.high, self.dx)
+
+
+def columns_to_bytes(cols) -> bytes:
+    arr = np.zeros(len(cols), dtype=COLUMN_DTYPE)
+    for i, c in enumerate(cols):
+        arr[i] = c.to_record()
+    return arr.tobytes()
+
+
+def process_float_column(x, col: Column, xp=np) -> np.ndarray:
+    """log10 + clamp preprocessing before quantization
+    (ref go/minh/minh.go:141-149).  Returns float32."""
+    buf = xp.asarray(x, xp.float32)
+    if col.log != 0:
+        buf = gomath.log10(buf.astype(xp.float64), xp).astype(xp.float32)
+    low = np.float32(col.low)
+    high_clamp = np.float32(np.nextafter(np.float32(col.high),
+                                         np.float32(-np.inf)))
+    buf = xp.where(buf < low, low, buf)
+    buf = xp.where(buf >= np.float32(col.high), high_clamp, buf)
+    return buf
+
+
+class Writer:
+    """Basic minh writer (ref go/minh/minh.go:40-156)."""
+
+    def __init__(self, fname, file_type: int = BASIC_FILE_TYPE):
+        self.f = MinnowWriter(fname)
+        self.f.header(struct.pack("<qqq", MAGIC, VERSION, file_type))
+        self.cols: list[Column] = []
+        self.names: list[str] = []
+        self.blocks = 0
+        self.block_sizes: list[int] = []
+        self.l = np.float32(0)
+        self.boundary = np.float32(0)
+        self.cells = 0
+
+    def header(self, names, text: str, cols) -> None:
+        """Write the text/names/columns headers
+        (ref go/minh/minh.go:88-93)."""
+        self.f.header(text.encode() if isinstance(text, str) else text)
+        self.f.header("$".join(names).encode())
+        self.f.header(columns_to_bytes(cols))
+        self.cols = list(cols)
+        self.names = list(names)
+
+    def geometry(self, l: float, boundary: float, cells: int) -> None:
+        self.l = np.float32(l)
+        self.boundary = np.float32(boundary)
+        self.cells = int(cells)
+
+    def block(self, cols) -> None:
+        """Write one row-block: one value array per column
+        (ref go/minh/minh.go:99-139).  ``cols`` is a sequence matching the
+        header's column order."""
+        if len(cols) != len(self.cols):
+            raise ValueError("Expected %d columns, got %d."
+                             % (len(self.cols), len(cols)))
+        n = len(np.asarray(cols[0]))
+        for i, c in enumerate(cols):
+            if len(np.asarray(c)) != n:
+                raise ValueError("len(cols[%d]) = %d instead of %d"
+                                 % (i, len(np.asarray(c)), n))
+        self.block_sizes.append(n)
+        self.blocks += 1
+
+        for i, x in enumerate(cols):
+            col = self.cols[i]
+            if ctypes_.is_fixed(col.type):
+                self.f.fixed_size_group(col.type, n)
+                self.f.data(np.asarray(
+                    x, ctypes_.group_dtype(col.type)))
+            elif col.type == Int:
+                self.f.int_group(n)
+                self.f.data(np.asarray(x, np.int64))
+            elif col.type == Float:
+                buf = process_float_column(x, col)
+                self.f.float_group(n, (col.low, col.high), col.dx)
+                self.f.data(buf)
+            else:
+                raise ValueError("bad column type %d" % col.type)
+
+    def close(self) -> None:
+        self.f.header(struct.pack("<ffq", self.l, self.boundary, self.cells))
+        self.f.header(np.int64(self.blocks))
+        self.f.header(np.asarray(self.block_sizes, dtype="<i8"))
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def create(fname) -> Writer:
+    return Writer(fname)
+
+
+class Reader:
+    """minh reader (ref go/minh/minh.go:170-323)."""
+
+    def __init__(self, fname, dither: str = "uniform", seed: int = 0):
+        f = MinnowReader(fname, dither=dither, seed=seed)
+        self.f = f
+        magic, version, file_type = struct.unpack("<qqq", f.header(0))
+        if magic != MAGIC:
+            raise ValueError(
+                "%s is not a minh file. Expected magic number %d, but got "
+                "%d." % (fname, MAGIC, magic))
+        if version < VERSION:
+            raise ValueError(
+                "%s written with minh version %d, but reader is version %d."
+                % (fname, version, VERSION))
+        self.file_type = file_type
+        self.text = f.header(1).decode()
+        self.names = f.header(2).decode().split("$")
+        recs = np.frombuffer(f.header(3), dtype=COLUMN_DTYPE)
+        self.columns = [Column.from_record(r) for r in recs]
+        l, boundary, cells = struct.unpack("<ffq", f.header(4))
+        self.l, self.boundary, self.cells = l, boundary, int(cells)
+        self.blocks = int(f.header(5, "q"))
+        self.block_lengths = [int(v) for v in f.header(6, np.int64).ravel()]
+        self.length = sum(self.block_lengths)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _col(self, name: str) -> int:
+        try:
+            return self.names.index(name)
+        except ValueError:
+            raise KeyError("Name %s not in Reader.Names = %s."
+                           % (name, self.names))
+
+    def _block_idx(self, c: int, b: int) -> int:
+        if self.file_type == BASIC_FILE_TYPE:
+            return c + b * len(self.columns)
+        return c * self.blocks + b
+
+    # -- whole-file reads (ref go/minh/minh.go:232-265) --------------------
+
+    def ints(self, names):
+        out = {name: np.empty(self.length, np.int64) for name in names}
+        end = 0
+        for b in range(self.blocks):
+            start, end = end, end + self.block_lengths[b]
+            got = self.int_block(b, names)
+            for name in names:
+                out[name][start:end] = got[name]
+        return out
+
+    def floats(self, names):
+        out = {name: np.empty(self.length, np.float32) for name in names}
+        end = 0
+        for b in range(self.blocks):
+            start, end = end, end + self.block_lengths[b]
+            got = self.float_block(b, names)
+            for name in names:
+                out[name][start:end] = got[name]
+        return out
+
+    # -- per-block reads (ref go/minh/minh.go:267-323) ---------------------
+
+    def int_block(self, b: int, names):
+        out = {}
+        for name in names:
+            c = self._col(name)
+            ctypes_.type_match(np.empty(0, np.int64), self.columns[c].type)
+            out[name] = np.asarray(self.f.data(self._block_idx(c, b)),
+                                   dtype=np.int64)
+        return out
+
+    def float_block(self, b: int, names):
+        out = {}
+        for name in names:
+            c = self._col(name)
+            col = self.columns[c]
+            ctypes_.type_match(np.empty(0, np.float32), col.type)
+            arr = np.asarray(self.f.data(self._block_idx(c, b)),
+                             dtype=np.float32)
+            if col.log != 0:
+                # ref go/minh/minh.go:315-319: 10**x in float64 -> float32
+                arr = np.float32(np.power(10.0, arr.astype(np.float64)))
+            out[name] = arr
+        return out
+
+    def close(self) -> None:
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open(fname, **kw) -> Reader:  # noqa: A001
+    return Reader(fname, **kw)

@@ -1,0 +1,117 @@
+"""Backend numeric-exactness validation.
+
+The on-disk format is defined by IEEE float32 arithmetic (core/spec.py);
+this module proves, at runtime on the *actual* backend, that the device
+codec reproduces it bitwise.  Run by bench.py on the real chip and by the
+test suite on the CPU mesh; any mismatch is a hard failure of the
+byte-exactness contract, not a tolerance issue.
+
+Found and guarded so far:
+
+* XLA f32 division is reciprocal-approximated (2 ulp): codec divides in
+  f64 and casts back (exact by Figueroa's double-rounding theorem).
+* FMA contraction of ``dx*v + low`` would merge two roundings into one:
+  codec puts an optimization barrier after the multiply.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import spec
+from . import codec
+
+
+def _rand_f32(rng, n, lo, hi):
+    return rng.uniform(lo, hi, n).astype(np.float32)
+
+
+def validate_quantize(n: int = 200_000, seed: int = 0) -> None:
+    """Device quantize == host spec quantize, bit for bit, on random and
+    boundary-adversarial inputs."""
+    rng = np.random.default_rng(seed)
+
+    # random configs
+    for low, high, dx in [(0.0, 250.0, 0.001), (-50.0, 100.0, 1.0),
+                          (0.0, 1.0, 1 / 7), (1.0, 5.0, 1e-4)]:
+        pixels = spec.float_group_pixels(low, high, dx)
+        x = _rand_f32(rng, n, low, high)
+        want = spec.quantize(x, low, high, pixels)
+        got = np.asarray(codec.quantize(
+            x, np.float32(low), np.float32(high), np.int64(pixels)))
+        bad = np.nonzero(got != want)[0]
+        if bad.size:
+            raise AssertionError(
+                "device quantize diverges from spec: %d/%d mismatches, "
+                "first at x=%.9g (want %d got %d) [low=%g high=%g px=%d]"
+                % (bad.size, n, x[bad[0]], want[bad[0]], got[bad[0]],
+                   low, high, pixels))
+
+    # adversarial: values engineered one ulp around every pixel boundary
+    low, high, pixels = np.float32(0), np.float32(1), 4093
+    dxq = spec.quantize_dx(low, high, pixels)
+    ks = rng.integers(1, pixels, 50_000)
+    grid = (ks.astype(np.float32) * dxq).astype(np.float32)
+    x = np.concatenate([np.nextafter(grid, -np.inf), grid,
+                        np.nextafter(grid, np.inf)])
+    want = spec.quantize(x, low, high, pixels)
+    got = np.asarray(codec.quantize(x, low, high, np.int64(pixels)))
+    if not np.array_equal(got, want):
+        bad = np.nonzero(got != want)[0]
+        raise AssertionError(
+            "device quantize diverges at pixel boundaries: %d mismatches "
+            "(e.g. x=%.9g want %d got %d)" % (bad.size, x[bad[0]],
+                                              want[bad[0]], got[bad[0]]))
+
+
+def validate_dequantize(n: int = 200_000, seed: int = 1) -> None:
+    """Device dequantize (dither=none) == host spec, bit for bit."""
+    rng = np.random.default_rng(seed)
+    for low, high, dx in [(0.0, 250.0, 0.001), (-50.0, 100.0, 0.25)]:
+        pixels = spec.float_group_pixels(low, high, dx)
+        q = rng.integers(0, pixels, n)
+        want = spec.dequantize(q, low, high, pixels)
+        got = np.asarray(codec.dequantize(
+            jnp.asarray(q), np.float32(low), np.float32(high),
+            np.int64(pixels)))
+        if not np.array_equal(got.view(np.int32), want.view(np.int32)):
+            bad = np.nonzero(got.view(np.int32) != want.view(np.int32))[0]
+            raise AssertionError(
+                "device dequantize diverges from spec: %d mismatches "
+                "(likely FMA contraction; e.g. q=%d want %.9g got %.9g)"
+                % (bad.size, q[bad[0]], want[bad[0]], got[bad[0]]))
+
+
+def validate_pack(seed: int = 2) -> None:
+    """Device pack bytes == spec pack bytes for a sample of widths."""
+    from . import bitpack
+
+    rng = np.random.default_rng(seed)
+    for bits in (1, 7, 11, 18, 23, 32, 45, 64):
+        x = rng.integers(0, 2**63, 4097, dtype=np.int64).view(np.uint64)
+        want = spec.pack_bits(x, bits)
+        got = bitpack.words_to_bytes(bitpack.pack(x, bits), bits, len(x))
+        if got != want:
+            raise AssertionError("device pack diverges at bits=%d" % bits)
+        back = np.asarray(bitpack.unpack(
+            bitpack.bytes_to_words(want, bits, len(x)), bits, len(x)))
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF) if bits >= 64 \
+            else np.uint64((1 << bits) - 1)
+        if not np.array_equal(back, x & mask):
+            raise AssertionError("device unpack diverges at bits=%d" % bits)
+
+
+def validate_backend() -> dict:
+    """Run all exactness checks on the current default backend.  Returns a
+    small report dict; raises AssertionError on any divergence."""
+    import jax
+
+    validate_quantize()
+    validate_dequantize()
+    validate_pack()
+    return {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "exact": True,
+    }

@@ -1,0 +1,248 @@
+"""Sharded block encode/decode pipeline.
+
+The distributed generalization of the reference's sequential writer loop
+(ref go/minh/minh.go:99-139 + go/bit/bit.go): minnow blocks are
+data-parallel (each carries its own min/bits metadata,
+ref go/group.go:242-263), so the pipeline
+
+  1. shards the block axis of a (B, N) batch across the mesh and runs the
+     fused quantize/recenter/delta/stats program (ops/codec.py) -- one jit,
+     XLA inserts any needed collectives;
+  2. resolves the data-dependent pack width per block on host (exact
+     ``precision_needed``), bucketing blocks by width;
+  3. packs each bucket with the width-specialized word-parallel kernel
+     (ops/bitpack.py), still sharded;
+  4. computes writer-order byte offsets as an exclusive prefix-sum of the
+     block sizes (the distributed analog of blockIndex.addBlock,
+     ref go/block_index.go:16-23) and assembles exact reference bytes.
+
+Blocks whose pixels fall outside [0, P) (possible only through the raw
+float API) are re-encoded on host with the normative greedy scan --
+the device one-pass reduction flags them via ``valid``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from ..core import spec
+from ..ops import bitpack, codec
+from . import mesh as mesh_lib
+
+__all__ = ["EncodedBlocks", "BlockEncoder"]
+
+
+@dataclass
+class EncodedBlocks:
+    """Result of encoding a batch of blocks: per-block packed payloads and
+    tail metadata, plus writer-order offsets."""
+
+    payloads: list  # list[bytes], one per block
+    mins: np.ndarray  # (B,) int64
+    bits: np.ndarray  # (B,) int64
+    lens: np.ndarray  # (B,) int64 valid lengths
+
+    @property
+    def sizes(self) -> np.ndarray:
+        return np.array([len(p) for p in self.payloads], dtype=np.int64)
+
+    @property
+    def offsets(self) -> np.ndarray:
+        """Exclusive prefix-sum: byte offset of each block within the
+        group's data region (ref go/block_index.go)."""
+        sizes = self.sizes
+        out = np.zeros_like(sizes)
+        np.cumsum(sizes[:-1], out=out[1:])
+        return out
+
+    def total_bytes(self) -> int:
+        return int(self.sizes.sum())
+
+    def write_to(self, writer) -> None:
+        """Append all blocks to the current group of a core Writer via the
+        pre-encoded fast path."""
+        for payload, mn, bits in zip(self.payloads, self.mins, self.bits):
+            writer.data_encoded(payload, int(mn), int(bits))
+
+
+class BlockEncoder:
+    """Device-sharded encoder/decoder for batches of minnow blocks."""
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh
+
+    # -- helpers -----------------------------------------------------------
+
+    def _shard(self, *arrays):
+        """Place batch arrays with the block axis sharded over the mesh."""
+        if self.mesh is None:
+            return arrays
+        out = []
+        for a in arrays:
+            sh = mesh_lib.block_sharding(self.mesh, np.ndim(a))
+            out.append(jax.device_put(a, sh))
+        return tuple(out)
+
+    def _pad(self, b: int) -> int:
+        if self.mesh is None:
+            return b
+        d = self.mesh.devices.size
+        return b + ((-b) % d)
+
+    @staticmethod
+    def _as_batch(x, lens):
+        x = np.asarray(x)
+        b, n = x.shape
+        if lens is None:
+            lens = np.full(b, n, dtype=np.int64)
+        else:
+            lens = np.asarray(lens, dtype=np.int64)
+        return x, b, n, lens
+
+    def _bucket_pack(self, deltas, bits, lens) -> list:
+        """Pack rows of ``deltas`` grouped by width; returns per-row
+        payload bytes."""
+        b = deltas.shape[0]
+        payloads: list = [b""] * b
+        for width in np.unique(bits):
+            width = int(width)
+            idx = np.nonzero(bits == width)[0]
+            if width == 0:
+                continue
+            words = np.asarray(bitpack.pack_batch(deltas[idx], width))
+            for row, block_id in enumerate(idx):
+                payloads[block_id] = bitpack.words_to_bytes(
+                    words[row], width, int(lens[block_id]))
+        return payloads
+
+    # -- encode ------------------------------------------------------------
+
+    def encode_int_blocks(self, x, lens=None) -> EncodedBlocks:
+        """Encode (B, N) int64 blocks (ref go/group.go:242-255)."""
+        x, b, n, lens = self._as_batch(x, lens)
+        bp = self._pad(b)
+        if bp != b:
+            x = np.pad(x, [(0, bp - b), (0, 0)])
+            lens_p = np.pad(lens, (0, bp - b), constant_values=1)
+        else:
+            lens_p = lens
+        (x_d, lens_d) = self._shard(x, lens_p)
+        deltas, mins, maxd = codec.prepare_int_blocks(x_d, lens_d)
+        deltas = np.asarray(deltas)[:b]
+        mins = np.asarray(mins)[:b]
+        maxd = np.asarray(maxd)[:b]
+        bits = np.array([spec.precision_needed(int(m)) for m in maxd],
+                        dtype=np.int64)
+        payloads = self._bucket_pack(deltas, bits, lens)
+        return EncodedBlocks(payloads, mins, bits, lens)
+
+    def encode_float_blocks(self, x, low, high, pixels, lens=None,
+                            periodic=True,
+                            clamp_q: bool = False) -> EncodedBlocks:
+        """Encode (B, N) float32 blocks (ref go/group.go:312-327).
+
+        ``low``/``high``/``pixels``/``periodic`` may be scalars or (B,)
+        arrays (per-block quantization configs are broadcast with the
+        data, matching the multi-column minh layout)."""
+        x, b, n, lens = self._as_batch(x, lens)
+        low = np.broadcast_to(np.asarray(low, np.float32), (b,)).copy()
+        high = np.broadcast_to(np.asarray(high, np.float32), (b,)).copy()
+        pixels = np.broadcast_to(np.asarray(pixels, np.int64), (b,)).copy()
+        periodic = np.broadcast_to(np.asarray(periodic, bool), (b,)).copy()
+
+        bp = self._pad(b)
+        if bp != b:
+            pad = bp - b
+            x = np.pad(x, [(0, pad), (0, 0)])
+            low = np.pad(low, (0, pad))
+            high = np.pad(high, (0, pad), constant_values=1)
+            pixels = np.pad(pixels, (0, pad), constant_values=1)
+            periodic = np.pad(periodic, (0, pad))
+            lens_p = np.pad(lens, (0, pad), constant_values=1)
+        else:
+            lens_p = lens
+
+        sharded = self._shard(x, low, high, pixels, lens_p, periodic)
+        deltas, mins, maxd, valid = codec.prepare_float_blocks(
+            *sharded, clamp_q=clamp_q)
+        deltas = np.asarray(deltas)[:b].copy()
+        mins = np.asarray(mins)[:b].copy()
+        maxd = np.asarray(maxd)[:b].copy()
+        valid = np.asarray(valid)[:b]
+
+        # Rare fallback: out-of-range pixels -> normative host greedy scan.
+        for i in np.nonzero(~valid)[0]:
+            payload, mn, bits_i, q = spec.encode_float_block(
+                x[i, :lens[i]], low[i], high[i], int(pixels[i]),
+                periodic=bool(periodic[i]), clamp_q=clamp_q)
+            mn64 = np.int64(mn)
+            d = np.zeros(n, np.uint64)
+            d[:lens[i]] = (q - mn64).view(np.uint64)
+            deltas[i] = d
+            mins[i] = mn64
+            maxd[i] = d.max() if lens[i] else 0
+
+        bits = np.array([spec.precision_needed(int(m)) for m in maxd],
+                        dtype=np.int64)
+        payloads = self._bucket_pack(deltas, bits, lens)
+        return EncodedBlocks(payloads, mins, bits, lens)
+
+    # -- decode ------------------------------------------------------------
+
+    def decode_int_blocks(self, payloads, mins, bits, n: int) -> np.ndarray:
+        """Decode per-block payloads back to (B, n) int64."""
+        b = len(payloads)
+        mins = np.asarray(mins, np.int64)
+        bits = np.asarray(bits, np.int64)
+        out = np.empty((b, n), dtype=np.int64)
+        for width in np.unique(bits):
+            width = int(width)
+            idx = np.nonzero(bits == width)[0]
+            if width == 0:
+                out[idx] = mins[idx, None]
+                continue
+            w = bitpack.words_per_block(width, n)
+            words = np.zeros((len(idx), w), dtype=np.uint32)
+            for row, block_id in enumerate(idx):
+                words[row] = bitpack.bytes_to_words(
+                    payloads[block_id], width, n)
+            dec = np.asarray(codec.decode_int_blocks(
+                words, mins[idx], width, n))
+            out[idx] = dec
+        return out
+
+    def decode_float_blocks(self, payloads, mins, bits, low, high, pixels,
+                            n: int, periodic=True, dither: str = "none",
+                            seed: int = 0, block_ids=None) -> np.ndarray:
+        """Decode per-block payloads back to (B, n) float32
+        (ref go/group.go:299-310)."""
+        b = len(payloads)
+        mins = np.asarray(mins, np.int64)
+        bits = np.asarray(bits, np.int64)
+        low = np.broadcast_to(np.asarray(low, np.float32), (b,))
+        high = np.broadcast_to(np.asarray(high, np.float32), (b,))
+        pixels = np.broadcast_to(np.asarray(pixels, np.int64), (b,))
+        periodic = np.broadcast_to(np.asarray(periodic, bool), (b,))
+        if block_ids is None:
+            block_ids = np.arange(b, dtype=np.int64)
+        block_ids = np.asarray(block_ids, np.int64)
+
+        out = np.empty((b, n), dtype=np.float32)
+        for width in np.unique(bits):
+            width = int(width)
+            idx = np.nonzero(bits == width)[0]
+            w = max(bitpack.words_per_block(width, n), 1)
+            words = np.zeros((len(idx), w), dtype=np.uint32)
+            if width:
+                for row, block_id in enumerate(idx):
+                    words[row] = bitpack.bytes_to_words(
+                        payloads[block_id], width, n)
+            dec = np.asarray(codec.decode_float_blocks(
+                words, mins[idx], low[idx], high[idx], pixels[idx],
+                periodic[idx], block_ids[idx], width, n, dither=dither,
+                seed=seed))
+            out[idx] = dec
+        return out

@@ -1,0 +1,261 @@
+// Native host engine for minnow-tpu.
+//
+// The reference ships a Go bit kernel (ref go/bit/bit.go) and a Cython twin
+// (ref python/cy_bit.pyx); this C++ engine is their counterpart for the
+// host side of the TPU framework: fast fixed-width bit pack/unpack, the
+// exact greedy periodic-window scan (normative for out-of-range inputs),
+// float32 quantization, and the multithreaded text-catalog field parser
+// (ref go/text/parse.go + go/thread/thread.go).
+//
+// Exposed as a plain C ABI consumed via ctypes (minnow_tpu/native.py).
+//
+// Layout contract (ref go/bit/bit.go): element i occupies bits
+// [i*b, (i+1)*b) of the byte stream, LSB-first within each byte; values
+// masked to b bits; b == 0 packs nothing / decodes zeros.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cmath>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+static inline uint64_t width_mask(int bits) {
+    return bits >= 64 ? ~0ULL : ((1ULL << bits) - 1);
+}
+
+// Pack n values at the given width into out. out must be zero-initialized
+// and have array_bytes(bits, n) + 16 bytes of writable slack (the fast path
+// stores whole 64-bit words).
+static void pack_range(const uint64_t* x, int64_t i0, int64_t i1, int bits,
+                       uint8_t* out) {
+    const uint64_t mask = width_mask(bits);
+    for (int64_t i = i0; i < i1; i++) {
+        uint64_t v = x[i] & mask;
+        int64_t bitpos = i * (int64_t)bits;
+        int64_t byte = bitpos >> 3;
+        int shift = (int)(bitpos & 7);
+        uint64_t lo;
+        std::memcpy(&lo, out + byte, 8);
+        lo |= v << shift;
+        std::memcpy(out + byte, &lo, 8);
+        if (shift && bits + shift > 64) {
+            uint8_t hi = out[byte + 8];
+            hi |= (uint8_t)(v >> (64 - shift));
+            out[byte + 8] = hi;
+        }
+    }
+}
+
+void mnw_pack(const uint64_t* x, int64_t n, int bits, uint8_t* out,
+              int threads) {
+    if (bits <= 0 || n <= 0) return;
+    if (threads <= 1 || n < (1 << 16)) {
+        pack_range(x, 0, n, bits, out);
+        return;
+    }
+    // Chunks start at multiples of 8 elements: bit offsets there are
+    // byte-aligned, so chunks touch disjoint byte ranges.
+    int64_t chunk = ((n / threads) / 8 + 1) * 8;
+    std::vector<std::thread> ts;
+    for (int64_t start = 0; start < n; start += chunk) {
+        int64_t end = std::min(n, start + chunk);
+        ts.emplace_back(pack_range, x, start, end, bits, out);
+    }
+    for (auto& t : ts) t.join();
+}
+
+static void unpack_range(const uint8_t* in, int64_t i0, int64_t i1, int bits,
+                         uint64_t* out) {
+    const uint64_t mask = width_mask(bits);
+    for (int64_t i = i0; i < i1; i++) {
+        int64_t bitpos = i * (int64_t)bits;
+        int64_t byte = bitpos >> 3;
+        int shift = (int)(bitpos & 7);
+        uint64_t lo;
+        std::memcpy(&lo, in + byte, 8);
+        uint64_t v = lo >> shift;
+        if (shift && bits + shift > 64)
+            v |= (uint64_t)in[byte + 8] << (64 - shift);
+        out[i] = v & mask;
+    }
+}
+
+// in must have array_bytes(bits, n) + 16 bytes of readable slack.
+void mnw_unpack(const uint8_t* in, int64_t n, int bits, uint64_t* out,
+                int threads) {
+    if (n <= 0) return;
+    if (bits == 0) {
+        std::memset(out, 0, (size_t)n * 8);
+        return;
+    }
+    if (threads <= 1 || n < (1 << 16)) {
+        unpack_range(in, 0, n, bits, out);
+        return;
+    }
+    int64_t chunk = ((n / threads) / 8 + 1) * 8;
+    std::vector<std::thread> ts;
+    for (int64_t start = 0; start < n; start += chunk) {
+        int64_t end = std::min(n, start + chunk);
+        ts.emplace_back(unpack_range, in, start, end, bits, out);
+    }
+    for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------------
+// Periodic window scan (ref go/group.go:374-420) -- exact transcription of
+// the greedy algorithm, normative for all inputs including out-of-range.
+// ---------------------------------------------------------------------------
+
+static inline int64_t periodic_distance(int64_t x, int64_t x0,
+                                        int64_t pixels) {
+    int64_t d = x - x0;
+    if (d >= 0) {
+        if (d > pixels - d) return d - pixels;
+    } else {
+        if (d < -(d + pixels)) return pixels + d;
+    }
+    return d;
+}
+
+int64_t mnw_periodic_min(const int64_t* x, int64_t n, int64_t pixels) {
+    if (n <= 0) return 0;
+    int64_t x0 = x[0], width = 1;
+    const int64_t half = pixels / 2;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t xi = x[i];
+        int64_t x1 = x0 + width - 1;
+        if (x1 >= pixels) x1 -= pixels;
+        int64_t d0 = periodic_distance(xi, x0, pixels);
+        int64_t d1 = periodic_distance(xi, x1, pixels);
+        if (d0 > 0 && d1 < 0) continue;
+        if (d1 > -d0) {
+            width += d1;
+        } else {
+            x0 += d0;
+            if (x0 < 0) x0 += pixels;
+            width -= d0;
+        }
+        if (width > half) return 0;
+    }
+    return x0;
+}
+
+void mnw_bound(int64_t* x, int64_t n, int64_t mn, int64_t pixels) {
+    for (int64_t i = 0; i < n; i++) {
+        if (x[i] < mn) x[i] += pixels;
+        else if (x[i] >= mn + pixels) x[i] -= pixels;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Quantize (ref go/group.go:312-320): q = floor(f32(x - low) / dx), exact
+// IEEE float32 on the host CPU.
+// ---------------------------------------------------------------------------
+
+void mnw_quantize(const float* x, int64_t n, float low, float dx,
+                  int64_t* q) {
+    for (int64_t i = 0; i < n; i++) {
+        float z = (x[i] - low) / dx;
+        q[i] = (int64_t)std::floor((double)z);
+    }
+}
+
+// min-subtraction stats (ref go/group.go:242-255): deltas, min, max delta.
+void mnw_delta_stats(const int64_t* x, int64_t n, uint64_t* deltas,
+                     int64_t* mn_out, uint64_t* maxd_out) {
+    if (n <= 0) { *mn_out = 0; *maxd_out = 0; return; }
+    int64_t mn = x[0];
+    for (int64_t i = 1; i < n; i++) if (x[i] < mn) mn = x[i];
+    uint64_t maxd = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t d = (uint64_t)(x[i] - mn);
+        deltas[i] = d;
+        if (d > maxd) maxd = d;
+    }
+    *mn_out = mn;
+    *maxd_out = maxd;
+}
+
+// ---------------------------------------------------------------------------
+// Text catalog field parser (ref go/text/parse.go:80-211).
+//
+// Input: a byte buffer of whitespace-separated columns, one item per line
+// ('\n'); comment lines removed by the caller.  line_starts/line_ends give
+// the [start, end) byte range of each of n_lines lines.  For each requested
+// column index, parses that field of every line into float64 (the caller
+// narrows to f32/i64).  Parallel over line ranges with std::thread -- the
+// native equivalent of the reference's goroutine WorkerQueue
+// (ref go/thread/thread.go:150-169).
+// Returns 0 on success, 1 + (line index) on parse failure.
+// ---------------------------------------------------------------------------
+
+static int64_t parse_lines_range(
+    const char* buf, const int64_t* line_starts, const int64_t* line_ends,
+    int64_t l0, int64_t l1, const int64_t* col_idx, int64_t n_cols,
+    int64_t max_col, double** out, int64_t n_lines, char sep) {
+    std::vector<const char*> fields(max_col + 1);
+    std::vector<int64_t> flen(max_col + 1);
+    for (int64_t li = l0; li < l1; li++) {
+        const char* p = buf + line_starts[li];
+        const char* end = buf + line_ends[li];
+        int64_t nf = 0;
+        while (p < end && nf <= max_col) {
+            while (p < end && (*p == sep || *p == '\t' || *p == '\r')) p++;
+            if (p >= end) break;
+            const char* fs = p;
+            while (p < end && *p != sep && *p != '\t' && *p != '\r') p++;
+            fields[nf] = fs;
+            flen[nf] = p - fs;
+            nf++;
+        }
+        for (int64_t c = 0; c < n_cols; c++) {
+            int64_t ci = col_idx[c];
+            if (ci >= nf) return 1 + li;
+            char tmp[64];
+            int64_t m = std::min<int64_t>(flen[ci], 63);
+            std::memcpy(tmp, fields[ci], m);
+            tmp[m] = 0;
+            char* endp = nullptr;
+            double v = std::strtod(tmp, &endp);
+            if (endp == tmp) return 1 + li;
+            out[c][li] = v;
+        }
+    }
+    return 0;
+}
+
+int64_t mnw_parse_columns(const char* buf, const int64_t* line_starts,
+                          const int64_t* line_ends, int64_t n_lines,
+                          const int64_t* col_idx, int64_t n_cols,
+                          double** out, int threads, char sep) {
+    if (n_lines <= 0 || n_cols <= 0) return 0;
+    int64_t max_col = 0;
+    for (int64_t c = 0; c < n_cols; c++)
+        max_col = std::max(max_col, col_idx[c]);
+    if (threads <= 1 || n_lines < 1024) {
+        return parse_lines_range(buf, line_starts, line_ends, 0, n_lines,
+                                 col_idx, n_cols, max_col, out, n_lines, sep);
+    }
+    int64_t chunk = (n_lines + threads - 1) / threads;
+    std::vector<std::thread> ts;
+    std::vector<int64_t> results((n_lines + chunk - 1) / chunk, 0);
+    int64_t w = 0;
+    for (int64_t start = 0; start < n_lines; start += chunk, w++) {
+        int64_t end = std::min(n_lines, start + chunk);
+        int64_t* res = &results[w];
+        ts.emplace_back([=]() {
+            *res = parse_lines_range(buf, line_starts, line_ends, start, end,
+                                     col_idx, n_cols, max_col, out, n_lines,
+                                     sep);
+        });
+    }
+    for (auto& t : ts) t.join();
+    for (int64_t r : results) if (r != 0) return r;
+    return 0;
+}
+
+}  // extern "C"

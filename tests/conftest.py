@@ -9,7 +9,10 @@ before jax initializes, hence at conftest import time.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force assignment: the session environment exports JAX_PLATFORMS=axon
+# (the real-TPU tunnel); tests must be hermetic and run on the virtual
+# CPU mesh.  Real-chip validation lives in bench.py / tools/.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
