@@ -1,0 +1,250 @@
+"""text_to_minh: convert Rockstar/consistent-trees text halo catalogs to
+minh (ref scripts/text_to_minh.go -- the flagship encode pipeline).
+
+Usage:
+  python -m minnow_tpu.cli.text_to_minh <config> <vars|all> <glob> <outdir>
+        [--device]
+
+Config file (ref text_to_minh.go:80-109):
+
+  [minh]
+  L = 250            # box size, Mpc/h
+  Epsilon = 1        # position precision
+  Mp = 1.54975e+08   # particle mass
+  MinParticles = 50  # mass cut: m > Mp*MinParticles
+  MassName = mvir
+  NameIndex = name_index.txt
+  TypeIndex = type_index.txt
+
+Type-index lines map canonical column names to storage types
+(ref text_to_minh.go:223-269):
+
+  <name> int64 | float32 | int
+  <name> q_float position
+  <name> q_float log|linear <min> <max> <eps>
+
+With ``--device`` the float/int columns are encoded through the sharded
+TPU pipeline (parallel/pipeline.py) instead of the host codec; the output
+bytes are identical.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..formats import minh
+from ..ingest import rockstar
+from ..utils import config as cfgmod
+from ..utils.name_index import open_index
+
+THREADS = 16
+
+
+def parse_config(fname: str):
+    v = cfgmod.ConfigVars("minh")
+    v.float("L", 0)
+    v.float("Epsilon", 0)
+    v.float("Mp", 0)
+    v.int("MinParticles", 0)
+    v.string("MassName", "mvir")
+    v.string("NameIndex", "")
+    v.string("TypeIndex", "")
+    cfgmod.read_config(fname, v)
+    for name in ("L", "Epsilon", "Mp", "MinParticles", "NameIndex",
+                 "TypeIndex"):
+        if not v[name]:
+            raise SystemExit("%s not set in %s" % (name, fname))
+    return v
+
+
+def parse_types(fname: str, idx):
+    """(ref text_to_minh.go:111-130)"""
+    out = {}
+    with open(fname) as f:
+        for line in f.read().split("\n"):
+            words = [w for w in line.strip().split(" ") if w]
+            if not words:
+                continue
+            std, ok = idx.standardize(words[0])
+            if not ok:
+                raise SystemExit(
+                    "Variable '%s' isn't contained in name index."
+                    % words[0])
+            out[std] = words[1:]
+    return out
+
+
+def parse_vars(fname: str, idx):
+    """(ref text_to_minh.go:132-150)"""
+    if fname == "all":
+        toks = idx.all_names
+    else:
+        with open(fname) as f:
+            toks = [t for t in f.read().split() if t]
+    out = set()
+    for v in toks:
+        std, ok = idx.standardize(v)
+        if not ok:
+            raise SystemExit(
+                "Variable '%s' isn't contained in name index." % v)
+        out.add(std)
+    return out
+
+
+def column_from_type(cfg, t):
+    """(ref text_to_minh.go:223-269) -> (Column, numpy dtype)"""
+    kind = t[0]
+    if kind == "int64":
+        return minh.Column(type=minh.Int64), np.int64
+    if kind == "float32":
+        return minh.Column(type=minh.Float32), np.float32
+    if kind == "int":
+        return minh.Column(type=minh.Int), np.int64
+    if kind == "q_float":
+        col = minh.Column(type=minh.Float)
+        if t[1] == "position":
+            col.low, col.high, col.dx = 0.0, cfg["L"], cfg["Epsilon"]
+        elif t[1] in ("log", "linear"):
+            mn, mx, eps = float(t[2]), float(t[3]), float(t[4])
+            if t[1] == "log":
+                col.log = 1
+                col.low, col.high = math.log10(mn), math.log10(mx)
+            else:
+                col.low, col.high = mn, mx
+            col.dx = eps
+        else:
+            raise SystemExit("q_float qualifier %s not recognized" % t[1])
+        return col, np.float32
+    raise SystemExit("Type %s not recognized." % kind)
+
+
+def out_name(out_dir: str, hlist: str) -> str:
+    """(ref text_to_minh.go:69-78)"""
+    base = os.path.basename(hlist)
+    toks = base.split(".")
+    toks = toks[:-1] + ["minh"] if len(toks) > 1 else [base, "minh"]
+    return os.path.join(out_dir, ".".join(toks))
+
+
+def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
+                 threads=THREADS):
+    """(ref text_to_minh.go:166-214)"""
+    fr = rockstar.open_rockstar(hlist)
+    all_names = fr.names()
+    header = fr.header()
+
+    names, cols, dtypes = [], [], []
+    std_all = []
+    for raw in all_names:
+        std, ok = idx.standardize(raw)
+        std_all.append(std)
+        if not ok:
+            raise SystemExit("Column name '%s' from %s not in name index"
+                             % (raw, hlist))
+        if std not in wanted:
+            continue
+        col, dtype = column_from_type(cfg, types[std])
+        names.append(std)
+        cols.append(col)
+        dtypes.append(dtype)
+
+    cutoff = np.float32(cfg["Mp"] * cfg["MinParticles"])
+    if cfg["MassName"] not in names:
+        raise SystemExit("MassName '%s' not in name index."
+                         % cfg["MassName"])
+
+    fr.set_threads(threads)
+    fr.set_names(std_all)
+
+    fm = minh.create(out)
+    if device:
+        from ..parallel import BlockEncoder
+
+        fm = _DeviceMinhWriter(fm, BlockEncoder())
+    fm.header(names, header, cols)
+    fm.geometry(np.float32(cfg["L"]), 0, 0)
+    for b in range(fr.blocks()):
+        data = fr.block(b, names, dtypes)
+        mass = data[cfg["MassName"]]
+        keep = mass > cutoff  # (ref text_to_minh.go:271-288)
+        if keep.any():
+            fm.block([data[n][keep] for n in names])
+    fm.close()
+    fr.close()
+
+
+class _DeviceMinhWriter:
+    """minh.Writer wrapper that routes Float/Int columns through the
+    device pipeline; bytes identical to the host writer."""
+
+    def __init__(self, wr: minh.Writer, encoder):
+        self.wr = wr
+        self.enc = encoder
+
+    def header(self, names, text, cols):
+        self.wr.header(names, text, cols)
+
+    def geometry(self, l, boundary, cells):
+        self.wr.geometry(l, boundary, cells)
+
+    def block(self, cols):
+        from ..core import spec, types as ctypes_
+
+        wr = self.wr
+        n = len(np.asarray(cols[0]))
+        wr.block_sizes.append(n)
+        wr.blocks += 1
+        for i, x in enumerate(cols):
+            col = wr.cols[i]
+            if ctypes_.is_fixed(col.type):
+                wr.f.fixed_size_group(col.type, n)
+                wr.f.data(np.asarray(x, ctypes_.group_dtype(col.type)))
+            elif col.type == minh.Int:
+                enc = self.enc.encode_int_blocks(
+                    np.asarray(x, np.int64)[None, :])
+                wr.f.int_group(n)
+                enc.write_to(wr.f)
+            elif col.type == minh.Float:
+                buf = minh.process_float_column(x, col)
+                pixels = spec.float_group_pixels(col.low, col.high, col.dx)
+                enc = self.enc.encode_float_blocks(
+                    np.asarray(buf, np.float32)[None, :], col.low,
+                    col.high, pixels)
+                wr.f.float_group(n, (col.low, col.high), col.dx)
+                enc.write_to(wr.f)
+        return None
+
+    def close(self):
+        self.wr.close()
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    device = "--device" in argv
+    if device:
+        argv.remove("--device")
+    if len(argv) != 4:
+        raise SystemExit(__doc__)
+    config_fname, vars_fname, in_pattern, out_dir = argv
+
+    cfg = parse_config(config_fname)
+    idx = open_index(cfg["NameIndex"])
+    types = parse_types(cfg["TypeIndex"], idx)
+    wanted = parse_vars(vars_fname, idx)
+
+    for hlist in globmod.glob(in_pattern):
+        print("Converting %s" % hlist)
+        t0 = time.time()
+        convert_file(cfg, idx, types, wanted, hlist,
+                     out_name(out_dir, hlist), device=device)
+        print("    %.2f minutes" % ((time.time() - t0) / 60))
+
+
+if __name__ == "__main__":
+    main()

@@ -283,6 +283,30 @@ class Reader:
             out[name] = arr
         return out
 
+    # -- boundary-file geometry helpers (ref python/minh.py:166-209) -------
+
+    def is_boundary(self) -> bool:
+        return self.cells > 0
+
+    def cell_width(self) -> float:
+        if not self.is_boundary():
+            return self.l
+        return self.l / self.cells
+
+    def cell_origin(self, b: int) -> np.ndarray:
+        ix = b % self.cells
+        iy = (b // self.cells) % self.cells
+        iz = b // (self.cells * self.cells)
+        return np.array([ix, iy, iz]) * self.cell_width()
+
+    def block_origin(self, b: int) -> np.ndarray:
+        origin = self.cell_origin(b) - self.boundary
+        origin[origin < 0] += self.l
+        return origin
+
+    def block_width(self) -> float:
+        return self.cell_width() + self.boundary * 2
+
     def close(self) -> None:
         self.f.close()
 
@@ -291,6 +315,21 @@ class Reader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def normalize_coords(coord, l, origin, width):
+    """Shift a 3 x N coordinate array into a cell frame with periodic
+    unwrapping, clipping to [0, width] (ref python/minh.py:193-209)."""
+    out = [None] * 3
+    for k in range(3):
+        vec = np.asarray(coord[k]).copy()
+        vec -= origin[k]
+        vec[vec < -l / 4] += l
+        vec[vec > (l / 4 + width)] -= l
+        vec[vec < 0] = 0
+        vec[vec > width] = width
+        out[k] = vec
+    return np.array(out)
 
 
 def open(fname, **kw) -> Reader:  # noqa: A001

@@ -1,0 +1,156 @@
+"""End-to-end CLI pipeline tests: text_to_minh (flagship encode,
+ref scripts/text_to_minh.go), minh_to_bnd (ref scripts/minh_to_bnd.go),
+convert_snapshot (ref scripts/convert_snapshot.go intent)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from minnow_tpu.cli import convert_snapshot, minh_to_bnd, text_to_minh
+from minnow_tpu.formats import minh
+
+
+@pytest.fixture
+def catalog_env(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 400
+    ids = np.arange(n)
+    xs = rng.uniform(0, 99.9, n)
+    ys = rng.uniform(0, 99.9, n)
+    zs = rng.uniform(0, 99.9, n)
+    mvir = 10.0 ** rng.uniform(9, 14, n)
+
+    lines = ["#ID X Y Z Mvir Weird"]
+    for i in range(n):
+        lines.append("%d %.5f %.5f %.5f %.6e 1.0"
+                     % (ids[i], xs[i], ys[i], zs[i], mvir[i]))
+    hlist = tmp_path / "hlist_1.00000.list"
+    hlist.write_text("\n".join(lines) + "\n")
+
+    (tmp_path / "names.txt").write_text(
+        "id ID haloid\nx X\ny Y\nz Z\nmvir Mvir M200\nweird Weird\n")
+    (tmp_path / "types.txt").write_text(
+        "id int64\n"
+        "x q_float position\n"
+        "y q_float position\n"
+        "z q_float position\n"
+        "mvir q_float log 1e5 1e16 0.001\n"
+        "weird float32\n")
+    (tmp_path / "run.config").write_text(
+        "[minh]\n"
+        "L = 100\n"
+        "Epsilon = 0.01\n"
+        "Mp = 1e8\n"
+        "MinParticles = 10\n"  # cutoff 1e9
+        "MassName = mvir\n"
+        "NameIndex = %s\n"
+        "TypeIndex = %s\n" % (tmp_path / "names.txt",
+                              tmp_path / "types.txt"))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    return dict(tmp_path=tmp_path, hlist=hlist, out=out_dir, ids=ids,
+                xs=xs, mvir=mvir)
+
+
+def test_text_to_minh_pipeline(catalog_env):
+    env = catalog_env
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"])])
+    out_file = env["out"] / "hlist_1.00000.minh"
+    assert out_file.exists()
+
+    r = minh.open(str(out_file), dither="none")
+    assert r.names == ["id", "x", "y", "z", "mvir", "weird"]
+    keep = env["mvir"] > 1e9  # mass cut applied
+    assert r.length == keep.sum()
+    got = r.ints(["id"])["id"]
+    np.testing.assert_array_equal(got, env["ids"][keep])
+    gx = r.floats(["x"])["x"]
+    assert np.abs(gx - env["xs"][keep].astype(np.float32)).max() <= 0.0101
+    gm = r.floats(["mvir"])["mvir"]
+    ratio = gm / env["mvir"][keep].astype(np.float32)
+    assert np.all((ratio < 10**0.00101) & (ratio > 10**-0.00101))
+    r.close()
+
+
+def test_text_to_minh_device_matches_host(catalog_env):
+    """--device routes encoding through the sharded pipeline; output
+    bytes must be identical."""
+    env = catalog_env
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"])])
+    host_file = env["out"] / "hlist_1.00000.minh"
+    host_bytes = host_file.read_bytes()
+    host_file.unlink()
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"]), "--device"])
+    assert host_file.read_bytes() == host_bytes
+
+
+def test_minh_to_bnd_pipeline(catalog_env):
+    env = catalog_env
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"])])
+    src = env["out"] / "hlist_1.00000.minh"
+    minh_to_bnd.main(["2", "5.0", str(src), str(env["out"])])
+    bnd_file = env["out"] / "hlist_1.00000.bnd.minh"
+    assert bnd_file.exists()
+
+    r = minh.open(str(bnd_file), dither="none")
+    assert r.names[0] == "boundary"
+    assert r.blocks == 8
+    assert r.cells == 2 and r.boundary == 5.0
+    src_r = minh.open(str(src), dither="none")
+    flags = r.ints(["boundary"])["boundary"]
+    assert r.length >= src_r.length  # ghosts only add entries
+    assert (flags == 0).sum() == src_r.length
+    ids_b = r.ints(["id"])["id"]
+    assert set(ids_b) == set(src_r.ints(["id"])["id"])
+    r.close()
+    src_r.close()
+
+
+def test_convert_snapshot_cycle(tmp_path):
+    from minnow_tpu.formats import minp as minp_fmt
+    from minnow_tpu.ingest import lgadget2, snapshot
+
+    rng = np.random.default_rng(5)
+    n_side, l = 8, 50.0
+    n = n_side ** 3
+    hd = minp_fmt.Header(z=0.0, scale=1.0, omega_m=0.3, omega_l=0.7,
+                         h100=0.7, l=l, n_side=n_side, n_total=n)
+    snapshot.calc_uniform_mass(hd)
+    snap = snapshot.MockSnapshot(
+        hd, [rng.uniform(0, l * 0.99, (n, 3)).astype(np.float32)],
+        [rng.normal(0, 50, (n, 3)).astype(np.float32)],
+        [np.arange(1, n + 1)])
+    gdir = tmp_path / "gadget"
+    gdir.mkdir()
+    gh = lgadget2.LGadget2Header(time=1.0, box_size=l, omega0=0.3,
+                                 omega_lambda=0.7, hubble_param=0.7,
+                                 n_part_total=(0, n, 0, 0, 0, 0))
+    lgadget2.write_lgadget2(str(gdir), "snap_%03d.dat", snap, gh)
+
+    mdir = tmp_path / "minp"
+    mdir.mkdir()
+    convert_snapshot.main(["to_minp", str(gdir), str(mdir), "2", "2",
+                           "0.001", "0.01"])
+    assert len(os.listdir(mdir)) == 16  # 8 x-files + 8 v-files
+
+    g2dir = tmp_path / "gadget2"
+    g2dir.mkdir()
+    convert_snapshot.main(["to_lgadget2", str(mdir), "%s_%d.minp",
+                           str(g2dir)])
+    back = lgadget2.LGadget2Snapshot(str(g2dir))
+    assert back.header().n_total == n
+    grid = snapshot.Grid(snap, 2)
+    for i in (0, 7):
+        bx = back.read_x(i)
+        gx = grid.read_x(i)
+        d = np.abs(bx - gx)
+        d = np.minimum(d, l - d)
+        assert d.max() <= 0.001 * (1 + 1e-3)
+        # minp IDs are the 0-based Lagrangian reconstruction
+        # (ref go/minp/minp.go:210-230)
+        np.testing.assert_array_equal(back.read_id(i), grid.read_id(i))
