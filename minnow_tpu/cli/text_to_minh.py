@@ -181,7 +181,12 @@ def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
 
 class _DeviceMinhWriter:
     """minh.Writer wrapper that routes Float/Int columns through the
-    device pipeline; bytes identical to the host writer."""
+    device pipeline; bytes identical to the host writer.
+
+    All Float columns of a row-block are quantized/packed in ONE batched
+    device call (their per-column quantization configs broadcast with the
+    batch), likewise all Int columns -- the multi-column analog of the
+    reference's per-column loop (ref go/minh/minh.go:99-139)."""
 
     def __init__(self, wr: minh.Writer, encoder):
         self.wr = wr
@@ -200,25 +205,50 @@ class _DeviceMinhWriter:
         n = len(np.asarray(cols[0]))
         wr.block_sizes.append(n)
         wr.blocks += 1
+
+        float_ids = [i for i, c in enumerate(wr.cols)
+                     if c.type == minh.Float]
+        int_ids = [i for i, c in enumerate(wr.cols)
+                   if c.type == minh.Int]
+
+        encoded = {}
+        if float_ids:
+            x = np.stack([
+                minh.process_float_column(cols[i], wr.cols[i])
+                for i in float_ids])
+            low = np.array([wr.cols[i].low for i in float_ids],
+                           np.float32)
+            high = np.array([wr.cols[i].high for i in float_ids],
+                            np.float32)
+            pixels = np.array([
+                spec.float_group_pixels(wr.cols[i].low, wr.cols[i].high,
+                                        wr.cols[i].dx)
+                for i in float_ids], np.int64)
+            enc = self.enc.encode_float_blocks(x, low, high, pixels)
+            for row, i in enumerate(float_ids):
+                encoded[i] = (enc.payloads[row], enc.mins[row],
+                              enc.bits[row])
+        if int_ids:
+            x = np.stack([np.asarray(cols[i], np.int64)
+                          for i in int_ids])
+            enc = self.enc.encode_int_blocks(x)
+            for row, i in enumerate(int_ids):
+                encoded[i] = (enc.payloads[row], enc.mins[row],
+                              enc.bits[row])
+
         for i, x in enumerate(cols):
             col = wr.cols[i]
             if ctypes_.is_fixed(col.type):
                 wr.f.fixed_size_group(col.type, n)
                 wr.f.data(np.asarray(x, ctypes_.group_dtype(col.type)))
             elif col.type == minh.Int:
-                enc = self.enc.encode_int_blocks(
-                    np.asarray(x, np.int64)[None, :])
                 wr.f.int_group(n)
-                enc.write_to(wr.f)
+                payload, mn, bits = encoded[i]
+                wr.f.data_encoded(payload, int(mn), int(bits))
             elif col.type == minh.Float:
-                buf = minh.process_float_column(x, col)
-                pixels = spec.float_group_pixels(col.low, col.high, col.dx)
-                enc = self.enc.encode_float_blocks(
-                    np.asarray(buf, np.float32)[None, :], col.low,
-                    col.high, pixels)
                 wr.f.float_group(n, (col.low, col.high), col.dx)
-                enc.write_to(wr.f)
-        return None
+                payload, mn, bits = encoded[i]
+                wr.f.data_encoded(payload, int(mn), int(bits))
 
     def close(self):
         self.wr.close()

@@ -78,22 +78,32 @@ def _pack_tiles(lo_t, hi_t, bits: int):
     """Pack (32, T) uint32 columns into (T, bits) words.
 
     ``lo_t[j]`` / ``hi_t[j]`` are the low/high halves of element ``j`` of
-    every tile.  Static unrolled shift/OR; all ops are (T,)-vectorized.
+    every tile.  Static unrolled shifts, accumulated per word with a
+    stacked sum-reduce: every contribution occupies disjoint bits, so
+    OR == ADD, and a reduce avoids a measured Mosaic/XLA-TPU miscompile
+    of long sequential shift-OR/ADD folds (bits 16-23 of 32-term chains
+    are silently dropped; see tools/tpu_or_chain_repro.py).
     """
     t = lo_t.shape[1]
     lo_mask, hi_mask = _masks(bits)
-    words = [jnp.zeros((t,), jnp.uint32) for _ in range(bits)]
+    terms = [[] for _ in range(bits)]
     for j in range(_TILE):
         w, s = divmod(j * bits, 32)
         lj = lo_t[j] & lo_mask
-        words[w] = words[w] | (lj << np.uint32(s) if s else lj)
+        terms[w].append(lj << np.uint32(s) if s else lj)
         if s and s + min(bits, 32) > 32:
-            words[w + 1] = words[w + 1] | (lj >> np.uint32(32 - s))
+            terms[w + 1].append(lj >> np.uint32(32 - s))
         if bits > 32:
             hj = hi_t[j] & hi_mask
-            words[w + 1] = words[w + 1] | (hj << np.uint32(s) if s else hj)
+            terms[w + 1].append(hj << np.uint32(s) if s else hj)
             if s and s + (bits - 32) > 32:
-                words[w + 2] = words[w + 2] | (hj >> np.uint32(32 - s))
+                terms[w + 2].append(hj >> np.uint32(32 - s))
+    words = [
+        ts[0] if len(ts) == 1
+        else jnp.sum(jnp.stack(ts, axis=0), axis=0, dtype=jnp.uint32)
+        if ts else jnp.zeros((t,), jnp.uint32)
+        for ts in terms
+    ]
     return jnp.stack(words, axis=1)  # (T, bits), tile-major word order
 
 

@@ -104,7 +104,9 @@ class BlockEncoder:
 
     def _bucket_pack(self, deltas, bits, lens) -> list:
         """Pack rows of ``deltas`` grouped by width; returns per-row
-        payload bytes."""
+        payload bytes.  ``deltas`` stays on device between the stats pass
+        and the width-specialized pack (only the packed words -- the
+        compressed bytes -- ever cross to host)."""
         b = deltas.shape[0]
         payloads: list = [b""] * b
         for width in np.unique(bits):
@@ -112,7 +114,8 @@ class BlockEncoder:
             idx = np.nonzero(bits == width)[0]
             if width == 0:
                 continue
-            words = np.asarray(bitpack.pack_batch(deltas[idx], width))
+            rows = deltas[idx] if len(idx) < b else deltas
+            words = np.asarray(bitpack.pack_batch(rows, width))
             for row, block_id in enumerate(idx):
                 payloads[block_id] = bitpack.words_to_bytes(
                     words[row], width, int(lens[block_id]))
@@ -131,7 +134,7 @@ class BlockEncoder:
             lens_p = lens
         (x_d, lens_d) = self._shard(x, lens_p)
         deltas, mins, maxd = codec.prepare_int_blocks(x_d, lens_d)
-        deltas = np.asarray(deltas)[:b]
+        deltas = deltas[:b]  # stays on device
         mins = np.asarray(mins)[:b]
         maxd = np.asarray(maxd)[:b]
         bits = np.array([spec.precision_needed(int(m)) for m in maxd],
@@ -168,22 +171,25 @@ class BlockEncoder:
         sharded = self._shard(x, low, high, pixels, lens_p, periodic)
         deltas, mins, maxd, valid = codec.prepare_float_blocks(
             *sharded, clamp_q=clamp_q)
-        deltas = np.asarray(deltas)[:b].copy()
+        deltas = deltas[:b]  # stays on device
         mins = np.asarray(mins)[:b].copy()
         maxd = np.asarray(maxd)[:b].copy()
         valid = np.asarray(valid)[:b]
 
-        # Rare fallback: out-of-range pixels -> normative host greedy scan.
-        for i in np.nonzero(~valid)[0]:
-            payload, mn, bits_i, q = spec.encode_float_block(
-                x[i, :lens[i]], low[i], high[i], int(pixels[i]),
-                periodic=bool(periodic[i]), clamp_q=clamp_q)
-            mn64 = np.int64(mn)
-            d = np.zeros(n, np.uint64)
-            d[:lens[i]] = (q - mn64).view(np.uint64)
-            deltas[i] = d
-            mins[i] = mn64
-            maxd[i] = d.max() if lens[i] else 0
+        if not valid.all():
+            # Rare fallback: out-of-range pixels -> normative host greedy
+            # scan (raw float API only; minh/minp data is always in range).
+            deltas = np.asarray(deltas).copy()
+            for i in np.nonzero(~valid)[0]:
+                payload, mn, bits_i, q = spec.encode_float_block(
+                    x[i, :lens[i]], low[i], high[i], int(pixels[i]),
+                    periodic=bool(periodic[i]), clamp_q=clamp_q)
+                mn64 = np.int64(mn)
+                d = np.zeros(n, np.uint64)
+                d[:lens[i]] = (q - mn64).view(np.uint64)
+                deltas[i] = d
+                mins[i] = mn64
+                maxd[i] = d.max() if lens[i] else 0
 
         bits = np.array([spec.precision_needed(int(m)) for m in maxd],
                         dtype=np.int64)

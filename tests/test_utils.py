@@ -1,0 +1,62 @@
+"""Support-layer tests: sched (mirrors ref go/thread/thread_test.go),
+profiling, distributed single-process path."""
+
+import numpy as np
+
+from minnow_tpu.utils import profiling, sched
+
+
+def test_split_array_sums_match_serial():
+    # parallel sum == serial sum under both strategies for many worker
+    # counts (ref go/thread/thread_test.go:34-112)
+    x = np.arange(10_000)
+    want = x.sum()
+    for workers in (1, 2, 3, 49, 100, 1000):
+        for strategy in ("contiguous", "jump"):
+            parts = np.zeros(max(workers, 1), dtype=np.int64)
+
+            def work(w, start, end, step):
+                s = 0
+                for i in range(start, end, step):
+                    s += x[i]
+                parts[w] += s
+
+            sched.split_array(len(x), workers, work, strategy)
+            assert parts.sum() == want, (workers, strategy)
+
+
+def test_worker_queue_runs_every_job():
+    done = np.zeros(257, dtype=bool)
+    sched.worker_queue(7, 257, lambda w, j: done.__setitem__(j, True))
+    assert done.all()
+
+
+def test_split_array_bad_strategy():
+    import pytest
+
+    with pytest.raises(ValueError, match="Unknown strategy"):
+        sched.split_array(4, 2, lambda *a: None, "weighted")
+
+
+def test_stage_timer():
+    t = profiling.StageTimer()
+    with t.stage("pack", nbytes=10**9):
+        pass
+    t.add("io", 0.5, 2 * 10**9)
+    rep = t.report()
+    assert rep["pack"]["bytes"] == 10**9
+    assert rep["io"]["GBps"] == 4.0
+    assert "seconds" in rep["pack"]
+    assert isinstance(t.dump(), str)
+
+
+def test_gather_blocks_single_process_identity():
+    from minnow_tpu.parallel import BlockEncoder
+    from minnow_tpu.parallel.distributed import (gather_blocks,
+                                                 is_coordinator)
+
+    x = np.arange(40, dtype=np.int64).reshape(4, 10)
+    enc = BlockEncoder().encode_int_blocks(x)
+    out = gather_blocks(enc)
+    assert out is enc
+    assert is_coordinator()
