@@ -115,6 +115,12 @@ def bench_native_baseline(n=1 << 22):
 def main():
     import jax
 
+    # Persistent compile cache: axon remote compiles run ~1-3 min per
+    # graph; caching makes repeat bench runs start in seconds.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     backend = jax.default_backend()
     from minnow_tpu.ops import validate
 

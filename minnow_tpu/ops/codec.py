@@ -45,33 +45,46 @@ _I64_MAX = np.int64(2**63 - 1)
 _I64_MIN = np.int64(-(2**63))
 
 
-def _div32_exact(a, b):
-    """IEEE-correctly-rounded float32 division.
+def _rp32(x64):
+    """Round an f64-typed value to exact float32 precision/range in place
+    (XLA ReducePrecision with 8 exponent / 23 mantissa bits).
 
-    XLA lowers f32 division to a reciprocal approximation (measured: 2 ulp
-    off on ~34% of operands on the CPU backend), which breaks byte-exact
-    quantization at pixel boundaries.  Per Figueroa's double-rounding
-    theorem, dividing in float64 (>= 2p+2 bits) and casting back yields
-    exactly the IEEE f32 quotient.  Validated bitwise against numpy in
-    ops/validate.py (run on every backend the codec targets)."""
-    return (a.astype(jnp.float64) / b.astype(jnp.float64)).astype(
-        jnp.float32)
+    This is the only reliable way to pin intermediate f32 roundings under
+    XLA: measured on the CPU backend, ``a*b + c`` contracts into an FMA
+    through BOTH ``optimization_barrier`` and
+    ``--xla_cpu_enable_fast_math=false``, and f64 ops whose operands are
+    upcasts and whose result is downcast get silently narrowed back to
+    f32 (recreating the fusable pattern).  ReducePrecision is an explicit
+    numerical op the simplifier never elides or fuses through.
+
+    The whole float codec therefore runs in f64 arithmetic (every f32
+    input value is exact in f64, and every f64 op on f32-valued operands
+    is exact) with an ``_rp32`` after each operation the reference
+    performs in float32 -- reproducing Go's op-by-op rounding exactly.
+    """
+    return jax.lax.reduce_precision(x64, exponent_bits=8,
+                                    mantissa_bits=23)
 
 
-def _dx32(low, high, pixels):
-    """dx = f32(high - low) / f32(pixels), both ops IEEE
-    (ref go/group.go:316)."""
-    return _div32_exact(high - low,
-                        jnp.asarray(pixels).astype(jnp.float32))
+def _f64(x):
+    return jnp.asarray(x).astype(jnp.float64)
+
+
+def _dx64(low, high, pixels):
+    """f32-valued dx as f64: ``f32(high - low) / f32(pixels)``
+    (ref go/group.go:316) -- subtraction, int conversion and division
+    each rounded to f32."""
+    span = _rp32(_f64(high) - _f64(low))
+    pix = _rp32(_f64(pixels))
+    return _rp32(span / pix)
 
 
 def quantize(x, low, high, pixels):
     """float32 -> int64 pixel indices (ref go/group.go:312-320).  ``low``,
     ``high`` are float32 scalars (or (B,1) columns), ``pixels`` int64."""
-    low = jnp.asarray(low, jnp.float32)
-    high = jnp.asarray(high, jnp.float32)
-    dx = _dx32(low, high, pixels)
-    q32 = _div32_exact(x.astype(jnp.float32) - low, dx)
+    dx = _dx64(low, high, pixels)
+    diff = _rp32(_f64(x) - _f64(low))
+    q32 = _rp32(diff / dx)
     return jnp.floor(q32).astype(jnp.int64)
 
 
@@ -84,17 +97,13 @@ def dequantize(q, low, high, pixels, u=None):
     not reliably available); the decoded-value contract ``|x-x_hat|<=dx``
     is unaffected, and dither streams are device/host-specific by design
     (core/dither.py)."""
-    low = jnp.asarray(low, jnp.float32)
-    high = jnp.asarray(high, jnp.float32)
-    dx = _dx32(low, high, pixels)
+    dx = _dx64(low, high, pixels)
     if u is None:
-        v32 = q.astype(jnp.float32)
+        v = _rp32(_f64(q))  # f32(q) conversion rounding
     else:
-        v32 = q.astype(jnp.float32) + u.astype(jnp.float32)
-    # barrier: dx*v32 + low must round twice (mul, then add) -- an FMA
-    # contraction would change the decoded bits vs the host reader
-    prod = jax.lax.optimization_barrier(dx * v32)
-    return prod + low
+        v = _rp32(_rp32(_f64(q)) + _rp32(_f64(u)))
+    prod = _rp32(dx * v)
+    return _rp32(prod + _f64(low)).astype(jnp.float32)
 
 
 def bits_needed(max_delta):

@@ -29,16 +29,21 @@ def _rand_f32(rng, n, lo, hi):
 
 def validate_quantize(n: int = 200_000, seed: int = 0) -> None:
     """Device quantize == host spec quantize, bit for bit, on random and
-    boundary-adversarial inputs."""
+    boundary-adversarial inputs.  Always through jit: fusion rewrites
+    (FMA contraction, division demotion) only happen in compiled code."""
+    import jax
+
     rng = np.random.default_rng(seed)
+    jq = jax.jit(codec.quantize)
 
     # random configs
     for low, high, dx in [(0.0, 250.0, 0.001), (-50.0, 100.0, 1.0),
-                          (0.0, 1.0, 1 / 7), (1.0, 5.0, 1e-4)]:
+                          (0.0, 1.0, 1 / 7), (1.0, 5.0, 1e-4),
+                          (5.0, 16.0, 0.001)]:
         pixels = spec.float_group_pixels(low, high, dx)
         x = _rand_f32(rng, n, low, high)
         want = spec.quantize(x, low, high, pixels)
-        got = np.asarray(codec.quantize(
+        got = np.asarray(jq(
             x, np.float32(low), np.float32(high), np.int64(pixels)))
         bad = np.nonzero(got != want)[0]
         if bad.size:
@@ -56,7 +61,7 @@ def validate_quantize(n: int = 200_000, seed: int = 0) -> None:
     x = np.concatenate([np.nextafter(grid, -np.inf), grid,
                         np.nextafter(grid, np.inf)])
     want = spec.quantize(x, low, high, pixels)
-    got = np.asarray(codec.quantize(x, low, high, np.int64(pixels)))
+    got = np.asarray(jq(x, low, high, np.int64(pixels)))
     if not np.array_equal(got, want):
         bad = np.nonzero(got != want)[0]
         raise AssertionError(
@@ -66,13 +71,20 @@ def validate_quantize(n: int = 200_000, seed: int = 0) -> None:
 
 
 def validate_dequantize(n: int = 200_000, seed: int = 1) -> None:
-    """Device dequantize (dither=none) == host spec, bit for bit."""
+    """Device dequantize (dither=none) == host spec, bit for bit.
+    Through jit (see validate_quantize); the (5, 16, 0.001) config with
+    q=6276 is the FMA-contraction regression case."""
+    import jax
+
     rng = np.random.default_rng(seed)
-    for low, high, dx in [(0.0, 250.0, 0.001), (-50.0, 100.0, 0.25)]:
+    jd = jax.jit(lambda q, lo, hi, p: codec.dequantize(q, lo, hi, p))
+    for low, high, dx in [(0.0, 250.0, 0.001), (-50.0, 100.0, 0.25),
+                          (5.0, 16.0, 0.001)]:
         pixels = spec.float_group_pixels(low, high, dx)
         q = rng.integers(0, pixels, n)
+        q[0] = min(6276, pixels - 1)
         want = spec.dequantize(q, low, high, pixels)
-        got = np.asarray(codec.dequantize(
+        got = np.asarray(jd(
             jnp.asarray(q), np.float32(low), np.float32(high),
             np.int64(pixels)))
         if not np.array_equal(got.view(np.int32), want.view(np.int32)):
