@@ -74,58 +74,91 @@ def _masks(bits: int):
     return lo_mask, hi_mask
 
 
-def _pack_tiles(lo_t, hi_t, bits: int):
-    """Pack (32, T) uint32 columns into (T, bits) words.
+def _shift_parts(x, offs, width: int):
+    """For (T, 32) values ``x`` whose element j sits at bit offset
+    ``offs[j]`` (mod 32) with ``width`` significant bits, return the
+    in-word and spill-word contributions as two (T, 32) arrays, plus the
+    per-element target word index.
 
-    ``lo_t[j]`` / ``hi_t[j]`` are the low/high halves of element ``j`` of
-    every tile.  Static unrolled shifts, accumulated per word with a
-    stacked sum-reduce: every contribution occupies disjoint bits, so
-    OR == ADD, and a reduce avoids a measured Mosaic/XLA-TPU miscompile
-    of long sequential shift-OR/ADD folds (bits 16-23 of 32-term chains
-    are silently dropped; see tools/tpu_or_chain_repro.py).
-    """
-    t = lo_t.shape[1]
+    Single vectorized shifts (per-lane shift amounts) + masked spill --
+    the codegen shape Mosaic compiles correctly, unlike long unrolled
+    scalar-shift accumulation chains which silently drop bits on TPU
+    (see tools/tpu_or_chain_repro.py)."""
+    s = (offs % 32).astype(np.uint32)  # (32,)
+    w = offs // 32
+    part_lo = x << s[None, :]
+    # spill = x >> (32 - s) for s > 0; for s == 0 the shift amount wraps,
+    # so mask the result instead of branching
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    part_hi = jnp.where((s > 0)[None, :], x >> s2[None, :],
+                        jnp.uint32(0))
+    return part_lo, part_hi, w
+
+
+def _segment_sum_words(parts, words_idx, bits: int, t: int):
+    """Sum (T, 32) contribution columns into (T, bits) words.  For fixed
+    width the element->word map is monotone, so each word's contributors
+    are a contiguous column range: static slice + sum-reduce (OR == ADD,
+    contributions occupy disjoint bits)."""
+    total = jnp.zeros((t, bits), jnp.uint32)
+    for part, idx in zip(parts, words_idx):
+        cols = []
+        for w in range(bits):
+            j0 = int(np.searchsorted(idx, w, side="left"))
+            j1 = int(np.searchsorted(idx, w, side="right"))
+            if j1 > j0:
+                cols.append(part[:, j0:j1].sum(axis=1, dtype=jnp.uint32))
+            else:
+                cols.append(jnp.zeros((t,), jnp.uint32))
+        total = total + jnp.stack(cols, axis=1)
+    return total
+
+
+def _pack_tiles(lo_t, hi_t, bits: int):
+    """Pack (T, 32) uint32 element halves into (T, bits) words."""
+    t = lo_t.shape[0]
     lo_mask, hi_mask = _masks(bits)
-    terms = [[] for _ in range(bits)]
-    for j in range(_TILE):
-        w, s = divmod(j * bits, 32)
-        lj = lo_t[j] & lo_mask
-        terms[w].append(lj << np.uint32(s) if s else lj)
-        if s and s + min(bits, 32) > 32:
-            terms[w + 1].append(lj >> np.uint32(32 - s))
-        if bits > 32:
-            hj = hi_t[j] & hi_mask
-            terms[w + 1].append(hj << np.uint32(s) if s else hj)
-            if s and s + (bits - 32) > 32:
-                terms[w + 2].append(hj >> np.uint32(32 - s))
-    words = [
-        ts[0] if len(ts) == 1
-        else jnp.sum(jnp.stack(ts, axis=0), axis=0, dtype=jnp.uint32)
-        if ts else jnp.zeros((t,), jnp.uint32)
-        for ts in terms
-    ]
-    return jnp.stack(words, axis=1)  # (T, bits), tile-major word order
+    offs = np.arange(_TILE, dtype=np.int64) * bits
+
+    parts = []
+    idxs = []
+    lo_m = lo_t & lo_mask
+    p_lo, p_spill, w = _shift_parts(lo_m, offs, min(bits, 32))
+    parts += [p_lo, p_spill]
+    idxs += [w, w + 1]
+    if bits > 32:
+        hi_m = hi_t & hi_mask
+        # hi half sits 32 bits further along: word w+1, same shift
+        q_lo, q_spill, _ = _shift_parts(hi_m, offs, bits - 32)
+        parts += [q_lo, q_spill]
+        idxs += [w + 1, w + 2]
+    return _segment_sum_words(parts, idxs, bits, t)
 
 
 def _unpack_tiles(words_t, bits: int):
     """Inverse of :func:`_pack_tiles`: (T, bits) words -> (lo, hi) of
-    shape (32, T)."""
+    shape (T, 32).  Static-index gathers + per-lane vector shifts."""
     lo_mask, hi_mask = _masks(bits)
-    los, his = [], []
-    for j in range(_TILE):
-        w, s = divmod(j * bits, 32)
-        lj = words_t[:, w] >> np.uint32(s) if s else words_t[:, w]
-        if s and s + min(bits, 32) > 32:
-            lj = lj | (words_t[:, w + 1] << np.uint32(32 - s))
-        los.append(lj & lo_mask)
-        if bits > 32:
-            hj = words_t[:, w + 1] >> np.uint32(s) if s else words_t[:, w + 1]
-            if s and s + (bits - 32) > 32:
-                hj = hj | (words_t[:, w + 2] << np.uint32(32 - s))
-            his.append(hj & hi_mask)
-        else:
-            his.append(jnp.zeros_like(lj))
-    return jnp.stack(los, axis=0), jnp.stack(his, axis=0)
+    offs = np.arange(_TILE, dtype=np.int64) * bits
+
+    def extract(base_off, mask):
+        s = (base_off % 32).astype(np.uint32)
+        w = np.minimum(base_off // 32, bits - 1)
+        w2 = np.minimum(base_off // 32 + 1, bits - 1)
+        a = words_t[:, w]
+        b = words_t[:, w2]
+        s2 = ((32 - s) % 32).astype(np.uint32)
+        out = a >> s[None, :]
+        out = out | jnp.where((s > 0)[None, :], b << s2[None, :],
+                              jnp.uint32(0))
+        return out & mask
+
+    lo = extract(offs, lo_mask)
+    if bits > 32:
+        hi = extract(offs + 32, hi_mask)
+    else:
+        hi = jnp.zeros_like(lo)
+    return lo, hi
 
 
 def _pack_1d(lo, hi, bits: int):
@@ -138,9 +171,8 @@ def _pack_1d(lo, hi, bits: int):
         lo = jnp.pad(lo, (0, pad))
         hi = jnp.pad(hi, (0, pad))
     t = (n + pad) // _TILE
-    lo_t = lo.reshape(t, _TILE).T
-    hi_t = hi.reshape(t, _TILE).T
-    words = _pack_tiles(lo_t, hi_t, bits).reshape(t * bits)
+    words = _pack_tiles(lo.reshape(t, _TILE), hi.reshape(t, _TILE),
+                        bits).reshape(t * bits)
     return words[: words_per_block(bits, n)]
 
 
@@ -154,7 +186,7 @@ def _unpack_1d(words, bits: int, n: int):
     if pad > 0:
         words = jnp.pad(words, (0, pad))
     lo_t, hi_t = _unpack_tiles(words.reshape(t, bits), bits)
-    return lo_t.T.reshape(-1)[:n], hi_t.T.reshape(-1)[:n]
+    return lo_t.reshape(-1)[:n], hi_t.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("bits",))

@@ -45,25 +45,37 @@ _I64_MAX = np.int64(2**63 - 1)
 _I64_MIN = np.int64(-(2**63))
 
 
+def _use_reduce_precision() -> bool:
+    # TPU's X64 rewriter (f64 emulated as float pairs) has no rule for
+    # f64 reduce-precision; use a convert round-trip there instead.
+    import jax as _jax
+
+    return _jax.default_backend() != "tpu"
+
+
 def _rp32(x64):
-    """Round an f64-typed value to exact float32 precision/range in place
-    (XLA ReducePrecision with 8 exponent / 23 mantissa bits).
+    """Round an f64-typed value to exact float32 precision/range in place.
 
-    This is the only reliable way to pin intermediate f32 roundings under
-    XLA: measured on the CPU backend, ``a*b + c`` contracts into an FMA
-    through BOTH ``optimization_barrier`` and
-    ``--xla_cpu_enable_fast_math=false``, and f64 ops whose operands are
-    upcasts and whose result is downcast get silently narrowed back to
-    f32 (recreating the fusable pattern).  ReducePrecision is an explicit
-    numerical op the simplifier never elides or fuses through.
+    This pins intermediate f32 roundings under XLA: measured on the CPU
+    backend, ``a*b + c`` contracts into an FMA through BOTH
+    ``optimization_barrier`` and ``--xla_cpu_enable_fast_math=false``,
+    and f64 ops whose operands are upcasts and whose result is downcast
+    get silently narrowed back to f32 (recreating the fusable pattern).
+    ReducePrecision(8, 23) is an explicit numerical op the simplifier
+    never elides or fuses through; on TPU (where f64 ReducePrecision is
+    unimplemented) a f64->f32->f64 convert round-trip is used and the
+    jitted runtime validation (ops/validate.py, run by bench.py on chip)
+    gates that the roundings survive compilation.
 
-    The whole float codec therefore runs in f64 arithmetic (every f32
-    input value is exact in f64, and every f64 op on f32-valued operands
-    is exact) with an ``_rp32`` after each operation the reference
-    performs in float32 -- reproducing Go's op-by-op rounding exactly.
+    The whole float codec runs in f64 arithmetic (every f32 input value
+    is exact in f64, and every f64 op on f32-valued operands is exact)
+    with an ``_rp32`` after each operation the reference performs in
+    float32 -- reproducing Go's op-by-op rounding exactly.
     """
-    return jax.lax.reduce_precision(x64, exponent_bits=8,
-                                    mantissa_bits=23)
+    if _use_reduce_precision():
+        return jax.lax.reduce_precision(x64, exponent_bits=8,
+                                        mantissa_bits=23)
+    return x64.astype(jnp.float32).astype(jnp.float64)
 
 
 def _f64(x):
