@@ -42,6 +42,8 @@ def bench_device(b=64, n=1 << 19):
     from minnow_tpu.ops import bitpack, codec
     from minnow_tpu.core import spec
 
+    from minnow_tpu.ops import fastdiv
+
     low, high, dx = 0.0, 250.0, 0.001
     pixels = spec.float_group_pixels(low, high, dx)
     bits = 18
@@ -52,13 +54,19 @@ def bench_device(b=64, n=1 << 19):
     pixv = np.full(b, pixels, np.int64)
     lens = np.full(b, n, np.int64)
     periodic = np.ones(b, bool)
+    dxq = np.full(b, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
 
     @jax.jit
-    def encode(x, lowv, highv, pixv, lens, periodic):
-        deltas, mins, maxd, valid = codec.prepare_float_blocks(
-            x, lowv, highv, pixv, lens, periodic)
+    def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
+        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast(
+            x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
+        # materialization boundary: keeps XLA from fusing the quantize
+        # chain into every packed-word read
+        deltas = jax.lax.optimization_barrier(deltas)
         words = bitpack.pack_batch(deltas, bits)
-        return words, mins, maxd
+        return words, mins, maxd, valid
 
     @jax.jit
     def decode(words, mins, lowv, highv, pixv):
@@ -68,9 +76,10 @@ def bench_device(b=64, n=1 << 19):
         return codec.dequantize(q, lowv[:, None], highv[:, None],
                                 pixv[:, None])
 
-    t_enc = _time(encode, x, lowv, highv, pixv, lens, periodic)
-    words, mins, _ = jax.block_until_ready(
-        encode(x, lowv, highv, pixv, lens, periodic))
+    enc_args = (x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
+    t_enc = _time(encode, *enc_args)
+    words, mins, _, valid = jax.block_until_ready(encode(*enc_args))
+    assert np.asarray(valid).all()
     t_dec = _time(decode, words, mins, lowv, highv, pixv)
 
     # correctness on-chip: decoded values within dx (periodic)

@@ -141,15 +141,20 @@ def lagrangian_ids(cell: Cell, n_side: int, xp=np):
 
 
 class Writer:
-    """minp writer (ref go/minp/minp.go:55-123)."""
+    """minp writer (ref go/minp/minp.go:55-123).
 
-    def __init__(self, fname):
+    With ``encoder`` (a parallel.BlockEncoder), each axis's sub-cell
+    blocks are quantized/packed in one batched device call; bytes are
+    identical to the host path."""
+
+    def __init__(self, fname, encoder=None):
         self.f = MinnowWriter(fname)
         self.f.header(struct.pack("<qqq", MAGIC, VERSION, BASIC_FILE_TYPE))
         self.hd = None
         self.cell = None
         self.periodic = True
         self.dx = np.float32(0)
+        self.encoder = encoder
 
     def header(self, hd: Header, raw_hd: bytes, cell: Cell, dx: float,
                periodic: bool) -> None:
@@ -192,8 +197,19 @@ class Writer:
             # the wrap to pixel 0 is correct (0 == L on the circle).
             self.f.float_group(n_sub3, (mins[k], maxs[k]), self.dx,
                                clamp_q=not self.periodic)
-            for sc in range(blocks.shape[0]):
-                self.f.data(np.ascontiguousarray(blocks[sc, :, k]))
+            if self.encoder is not None:
+                from ..core import spec as _spec
+
+                pixels = _spec.float_group_pixels(mins[k], maxs[k],
+                                                  self.dx)
+                enc = self.encoder.encode_float_blocks(
+                    np.ascontiguousarray(blocks[:, :, k]),
+                    mins[k], maxs[k], pixels,
+                    clamp_q=not self.periodic)
+                enc.write_to(self.f)
+            else:
+                for sc in range(blocks.shape[0]):
+                    self.f.data(np.ascontiguousarray(blocks[sc, :, k]))
 
     def close(self) -> None:
         self.f.close()

@@ -174,27 +174,12 @@ def prepare_int_blocks(x, n):
     return _delta_stats(x, mask)
 
 
-@partial(jax.jit, static_argnames=("clamp_q",))
-def prepare_float_blocks(x, low, high, pixels, n, periodic,
-                         clamp_q: bool = False):
-    """Batched float-block encode prep (ref go/group.go:312-327).
-
-    ``x`` (B, N) float32; ``low``/``high`` float32 (B,); ``pixels`` int64
-    (B,); ``n`` (B,) valid lengths; ``periodic`` bool (B,).
-
-    Returns ``(deltas u64, mins, maxdeltas, valid)`` -- ``valid[b]`` False
-    when block b contains out-of-range pixels so the one-pass periodic
-    reduction does not apply and the caller must use the host scan.
-    """
-    b, width = x.shape
-    mask = _mask(n, width)
-    q = quantize(x, low[:, None], high[:, None], pixels[:, None])
-    if clamp_q:
-        # guard against the reference's q == pixels wrap bug for
-        # non-periodic data (see core/spec.py:encode_float_block)
-        q = jnp.minimum(q, pixels[:, None] - 1)
-
+def _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q: bool):
+    """Shared tail of the float encode prep: range check, periodic
+    recentering (one-pass reduction), delta stats."""
     p = pixels[:, None]
+    if clamp_q:
+        q = jnp.minimum(q, p - 1)
     in_range = jnp.where(mask, (q >= 0) & (q < p), True).all(axis=1)
 
     x0 = q[:, :1]
@@ -210,6 +195,45 @@ def prepare_float_blocks(x, low, high, pixels, n, periodic,
     deltas, mn, maxd = _delta_stats(qb, mask)
     valid = in_range | ~periodic
     return deltas, mn, maxd, valid
+
+
+@partial(jax.jit, static_argnames=("clamp_q",))
+def prepare_float_blocks_fast(x, low, pixels, n, periodic,
+                              b, eb, m0, m1, clamp_q: bool = False):
+    """Integer-exact encode prep (ops/fastdiv.py): same results as
+    :func:`prepare_float_blocks` at VPU speed.  ``b/eb/m0/m1`` are the
+    per-block divisor decomposition from ``fastdiv.divisor_magic`` (host).
+    ``valid`` additionally goes False for blocks the fast quotient path
+    cannot certify (the caller re-encodes those on host)."""
+    from . import fastdiv
+
+    width = x.shape[1]
+    mask = _mask(n, width)
+    diff = x.astype(jnp.float32) - low[:, None]
+    q, exact = fastdiv.quantize_fast(diff, b[:, None], eb[:, None],
+                                     m0[:, None], m1[:, None])
+    all_exact = jnp.where(mask, exact, True).all(axis=1)
+    deltas, mn, maxd, valid = _finish_float_blocks(
+        q, pixels, n, periodic, mask, clamp_q)
+    return deltas, mn, maxd, valid & all_exact
+
+
+@partial(jax.jit, static_argnames=("clamp_q",))
+def prepare_float_blocks(x, low, high, pixels, n, periodic,
+                         clamp_q: bool = False):
+    """Batched float-block encode prep (ref go/group.go:312-327).
+
+    ``x`` (B, N) float32; ``low``/``high`` float32 (B,); ``pixels`` int64
+    (B,); ``n`` (B,) valid lengths; ``periodic`` bool (B,).
+
+    Returns ``(deltas u64, mins, maxdeltas, valid)`` -- ``valid[b]`` False
+    when block b contains out-of-range pixels so the one-pass periodic
+    reduction does not apply and the caller must use the host scan.
+    """
+    b, width = x.shape
+    mask = _mask(n, width)
+    q = quantize(x, low[:, None], high[:, None], pixels[:, None])
+    return _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q)
 
 
 @partial(jax.jit, static_argnames=("bits", "n"))

@@ -95,6 +95,48 @@ def validate_dequantize(n: int = 200_000, seed: int = 1) -> None:
                 % (bad.size, q[bad[0]], want[bad[0]], got[bad[0]]))
 
 
+def validate_quantize_fast(seed: int = 3) -> None:
+    """Integer-exact fast quantize (ops/fastdiv.py) == spec, bitwise,
+    through jit, incl. pixel-boundary adversarial values."""
+    import jax
+
+    from . import fastdiv
+
+    rng = np.random.default_rng(seed)
+    jq = jax.jit(fastdiv.quantize_fast)
+    for low, high, dx in [(0.0, 250.0, 0.001), (-50.0, 100.0, 1.0),
+                          (5.0, 16.0, 0.001), (0.0, 1.0, 1 / 7)]:
+        pixels = spec.float_group_pixels(low, high, dx)
+        dxq = spec.quantize_dx(low, high, pixels)
+        b, eb, m0, m1, ok = fastdiv.divisor_magic(np.array([dxq]))
+        assert ok[0]
+        x = _rand_f32(rng, 100_000, low, high)
+        ks = rng.integers(0, pixels, 20_000)
+        grid = np.float32(low) + (ks.astype(np.float32) * dxq).astype(
+            np.float32)
+        x = np.concatenate([x, np.nextafter(grid, -np.inf), grid,
+                            np.nextafter(grid, np.inf)])
+        diff = (x - np.float32(low)).astype(np.float32)
+        q, exact = jq(diff, b[0], eb[0], m0[0], m1[0])
+        q, exact = np.asarray(q), np.asarray(exact)
+        # flagged elements (e.g. subnormal diffs -> quotient < 2^-120)
+        # legitimately route to the host fallback; the adversarial grid
+        # deliberately includes such values, so only sanity-bound the rate
+        frac_flagged = (~exact).mean()
+        if frac_flagged > 0.25:
+            raise AssertionError("fast quantize certified too few "
+                                 "elements (%.3f%% flagged)"
+                                 % (100 * frac_flagged))
+        want = spec.quantize(x, low, high, pixels)
+        bad = np.nonzero((q != want) & exact)[0]
+        if bad.size:
+            raise AssertionError(
+                "fast quantize diverges from spec: %d mismatches (e.g. "
+                "x=%a want %d got %d) [low=%g high=%g dx=%g]"
+                % (bad.size, float(x[bad[0]]), want[bad[0]], q[bad[0]],
+                   low, high, dx))
+
+
 def validate_pack(seed: int = 2) -> None:
     """Device pack bytes == spec pack bytes for a sample of widths."""
     from . import bitpack
@@ -120,6 +162,7 @@ def validate_backend() -> dict:
     import jax
 
     validate_quantize()
+    validate_quantize_fast()
     validate_dequantize()
     validate_pack()
     return {

@@ -168,13 +168,25 @@ class BlockEncoder:
         else:
             lens_p = lens
 
-        sharded = self._shard(x, low, high, pixels, lens_p, periodic)
-        deltas, mins, maxd, valid = codec.prepare_float_blocks(
-            *sharded, clamp_q=clamp_q)
+        # host: per-block pixel width + divisor magic for the
+        # integer-exact fast quantize (ops/fastdiv.py)
+        from ..ops import fastdiv
+
+        with np.errstate(all="ignore"):
+            dxq = (np.float32(high - low)
+                   / pixels.astype(np.float32)).astype(np.float32)
+        db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+
+        sharded = self._shard(x, low, periodic, db, deb, dm0, dm1)
+        (x_d, low_d, per_d, db_d, deb_d, dm0_d, dm1_d) = sharded
+        (pix_d, lens_d) = self._shard(pixels, lens_p)
+        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast(
+            x_d, low_d, pix_d, lens_d, per_d, db_d, deb_d, dm0_d, dm1_d,
+            clamp_q=clamp_q)
         deltas = deltas[:b]  # stays on device
         mins = np.asarray(mins)[:b].copy()
         maxd = np.asarray(maxd)[:b].copy()
-        valid = np.asarray(valid)[:b]
+        valid = np.asarray(valid)[:b] & dok[:b]
 
         if not valid.all():
             # Rare fallback: out-of-range pixels -> normative host greedy

@@ -112,3 +112,23 @@ def test_minp_rejects_wrong_len(tmp_path):
              0.1, True)
     with pytest.raises(ValueError, match="len"):
         w.vectors(np.zeros((9, 3), np.float32))
+
+
+def test_minp_device_writer_byte_identical(tmp_path):
+    """minp written through the device pipeline == host writer bytes."""
+    from minnow_tpu.parallel import BlockEncoder
+
+    rng = np.random.default_rng(42)
+    hd = minp.Header(l=100.0, n_side=8, n_total=512)
+    vec = rng.uniform(0, 99.9, (512, 3)).astype(np.float32)
+
+    for periodic in (True, False):
+        host_f = str(tmp_path / ("h%d.minp" % periodic))
+        dev_f = str(tmp_path / ("d%d.minp" % periodic))
+        for fname, enc in ((host_f, None), (dev_f, BlockEncoder())):
+            w = minp.Writer(fname, encoder=enc)
+            w.header(hd, b"x", minp.Cell(0, 1, 2), 0.01, periodic)
+            w.vectors(vec)
+            w.close()
+        assert open(host_f, "rb").read() == open(dev_f, "rb").read(), \
+            periodic
