@@ -23,11 +23,11 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=5):
-    out = fn(*args)
+def _time(fn, *args, iters=10):
     import jax
 
-    jax.block_until_ready(out)  # warmup / compile
+    out = jax.block_until_ready(fn(*args))  # warmup / compile
+    out = jax.block_until_ready(fn(*args))  # settle
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -76,11 +76,17 @@ def bench_device(b=64, n=1 << 19):
         return codec.dequantize(q, lowv[:, None], highv[:, None],
                                 pixv[:, None])
 
-    enc_args = (x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
+    # Pre-place inputs on device: this benchmarks the chip, not the
+    # host link (in this environment the TPU sits behind a network
+    # tunnel at ~35 MB/s; a production host feeds via PCIe/DMA).
+    enc_args = tuple(jax.device_put(a) for a in
+                     (x, lowv, pixv, lens, periodic, db, deb, dm0, dm1))
+    jax.block_until_ready(enc_args)
     t_enc = _time(encode, *enc_args)
     words, mins, _, valid = jax.block_until_ready(encode(*enc_args))
     assert np.asarray(valid).all()
-    t_dec = _time(decode, words, mins, lowv, highv, pixv)
+    t_dec = _time(decode, words, mins, *enc_args[1:2],
+                  jax.device_put(highv), enc_args[2])
 
     # correctness on-chip: decoded values within dx (periodic)
     xhat = np.asarray(decode(words, mins, lowv, highv, pixv))
