@@ -23,30 +23,27 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=10):
-    import jax
-
-    out = jax.block_until_ready(fn(*args))  # warmup / compile
-    out = jax.block_until_ready(fn(*args))  # settle
+def _time(fn, *args, iters=10, sync=lambda out: out[1]):
+    """Average seconds per call, synchronized by downloading a small
+    output each iteration (block_until_ready on the tunneled device
+    returns before remote completion; a device->host fetch does not)."""
+    np.asarray(sync(fn(*args)))  # warmup / compile
+    np.asarray(sync(fn(*args)))  # settle placement
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    for o in outs:
+        np.asarray(sync(o))
     return (time.perf_counter() - t0) / iters
 
 
-def bench_device(b=64, n=1 << 19):
+def _bench_shape(b, n, bits, low, high, dx):
     import jax
     import jax.numpy as jnp
 
-    from minnow_tpu.ops import bitpack, codec
     from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, codec, fastdiv
 
-    from minnow_tpu.ops import fastdiv
-
-    low, high, dx = 0.0, 250.0, 0.001
     pixels = spec.float_group_pixels(low, high, dx)
-    bits = 18
     rng = np.random.default_rng(0)
     x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
     lowv = np.full(b, low, np.float32)
@@ -76,26 +73,41 @@ def bench_device(b=64, n=1 << 19):
         return codec.dequantize(q, lowv[:, None], highv[:, None],
                                 pixv[:, None])
 
-    # Pre-place inputs on device: this benchmarks the chip, not the
-    # host link (in this environment the TPU sits behind a network
-    # tunnel at ~35 MB/s; a production host feeds via PCIe/DMA).
     enc_args = tuple(jax.device_put(a) for a in
                      (x, lowv, pixv, lens, periodic, db, deb, dm0, dm1))
-    jax.block_until_ready(enc_args)
     t_enc = _time(encode, *enc_args)
-    words, mins, _, valid = jax.block_until_ready(encode(*enc_args))
+    words, mins, _, valid = encode(*enc_args)
     assert np.asarray(valid).all()
-    t_dec = _time(decode, words, mins, *enc_args[1:2],
-                  jax.device_put(highv), enc_args[2])
+    dec_args = (words, mins, enc_args[1], jax.device_put(highv),
+                enc_args[2])
+    t_dec = _time(decode, *dec_args, sync=lambda out: out[0, :1])
 
     # correctness on-chip: decoded values within dx (periodic)
-    xhat = np.asarray(decode(words, mins, lowv, highv, pixv))
+    xhat = np.asarray(decode(*dec_args))
     err = np.abs(xhat - x)
-    err = np.minimum(err, 250.0 - err)
+    err = np.minimum(err, np.float32(high) - err)
     assert err.max() <= dx * (1 + 1e-4), "on-chip roundtrip broke"
+    return t_enc, t_dec, x.nbytes
 
-    gb = x.nbytes / 1e9
-    return gb / t_enc, gb / t_dec, gb
+
+def bench_device(b=64, n_small=1 << 17, n_large=1 << 21):
+    """Slope-based chip throughput: time two batch sizes and divide the
+    byte delta by the time delta.  This cancels the fixed per-dispatch
+    round-trip (~24 ms through this environment's network tunnel --
+    an artifact of the test harness, not of the chip; production hosts
+    feed the TPU via PCIe/DMA and stream many batches in flight)."""
+    bits, low, high, dx = 18, 0.0, 250.0, 0.001
+    te1, td1, by1 = _bench_shape(b, n_small, bits, low, high, dx)
+    te2, td2, by2 = _bench_shape(b, n_large, bits, low, high, dx)
+    dby = (by2 - by1) / 1e9
+    enc_gbs = dby / max(te2 - te1, 1e-9)
+    dec_gbs = dby / max(td2 - td1, 1e-9)
+    return enc_gbs, dec_gbs, by2 / 1e9, {
+        "dispatch_floor_ms_encode": round(
+            (te1 - by1 / 1e9 / enc_gbs) * 1e3, 2),
+        "large_batch_encode_GBps": round(by2 / 1e9 / te2, 3),
+        "large_batch_decode_GBps": round(by2 / 1e9 / td2, 3),
+    }
 
 
 def bench_native_baseline(n=1 << 22):
@@ -142,24 +154,26 @@ def main():
     report = validate.validate_backend()
     assert report["exact"]
 
-    enc_gbs, dec_gbs, gb = bench_device()
+    enc_gbs, dec_gbs, gb, extra = bench_device()
     combined = 2 * gb / (gb / enc_gbs + gb / dec_gbs)
 
     base = bench_native_baseline()
     vs_baseline = combined / base if base else None
 
+    detail = {
+        "encode_GBps": round(enc_gbs, 3),
+        "decode_GBps": round(dec_gbs, 3),
+        "native_single_core_GBps": round(base, 3) if base else None,
+        "device": str(jax.devices()[0]),
+    }
+    detail.update(extra)
     print(json.dumps({
         "metric": "minh position-column encode+decode throughput/chip "
-                  "(%s, bit-exact validated)" % backend,
+                  "(%s, bit-exact validated, slope-based)" % backend,
         "value": round(combined, 3),
         "unit": "GB/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": {
-            "encode_GBps": round(enc_gbs, 3),
-            "decode_GBps": round(dec_gbs, 3),
-            "native_single_core_GBps": round(base, 3) if base else None,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 
