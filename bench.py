@@ -57,7 +57,7 @@ def _bench_shape(b, n, bits, low, high, dx):
 
     @jax.jit
     def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
-        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast(
+        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
             x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
         # materialization boundary: keeps XLA from fusing the quantize
         # chain into every packed-word read
@@ -67,9 +67,9 @@ def _bench_shape(b, n, bits, low, high, dx):
 
     @jax.jit
     def decode(words, mins, lowv, highv, pixv):
-        q = bitpack.unpack_batch(words, bits, n).astype(jnp.int64) \
+        q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
             + mins[:, None]
-        q = codec.bound(q, 0, pixv[:, None])
+        q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
         return codec.dequantize(q, lowv[:, None], highv[:, None],
                                 pixv[:, None])
 

@@ -54,7 +54,12 @@ def words_per_block(bits: int, n: int) -> int:
 
 
 def split_u64(x):
-    """uint64 (or int64) array -> (lo, hi) uint32 pair."""
+    """uint64 (or int64) array -> (lo, hi) uint32 pair.  32-bit inputs
+    (the all-native-width path) skip the 64-bit emulation entirely; for
+    widths <= 32 the hi half is dead code XLA eliminates."""
+    if x.dtype in (jnp.uint32, jnp.int32):
+        lo = x.astype(jnp.uint32)
+        return lo, jnp.zeros_like(lo)
     x = x.astype(jnp.uint64)
     lo = (x & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     hi = (x >> jnp.uint64(32)).astype(jnp.uint32)
@@ -217,6 +222,16 @@ def unpack_batch(words, bits: int, n: int):
     """(B, W) words -> (B, n) uint64."""
     lo, hi = jax.vmap(lambda w: _unpack_1d(w, bits, n))(words)
     return join_u64(lo, hi)
+
+
+@partial(jax.jit, static_argnames=("bits", "n"))
+def unpack_batch32(words, bits: int, n: int):
+    """(B, W) words -> (B, n) uint32, for widths <= 32 (all-native-width
+    decode path: no 64-bit emulation)."""
+    if bits > 32:
+        raise ValueError("unpack_batch32 requires bits <= 32")
+    lo, _ = jax.vmap(lambda w: _unpack_1d(w, bits, n))(words)
+    return lo
 
 
 # -- host-side glue ---------------------------------------------------------

@@ -150,18 +150,20 @@ def _mask(n, width):
 
 
 def _masked_min(x, mask):
-    return jnp.where(mask, x, _I64_MAX).min(axis=1)
+    return jnp.where(mask, x, jnp.iinfo(x.dtype).max).min(axis=1)
 
 
 def _masked_max(x, mask):
-    return jnp.where(mask, x, _I64_MIN).max(axis=1)
+    return jnp.where(mask, x, jnp.iinfo(x.dtype).min).max(axis=1)
 
 
 def _delta_stats(q, mask):
-    """Min-subtraction with int64 wraparound, padding packed as zero
-    (ref go/group.go:242-255)."""
+    """Min-subtraction with wraparound in the input's width, padding
+    packed as zero (ref go/group.go:242-255).  int32 q yields uint32
+    deltas (the all-native-width path), int64 yields uint64."""
+    udt = jnp.uint32 if q.dtype == jnp.int32 else jnp.uint64
     mn = _masked_min(q, mask)
-    deltas = jnp.where(mask, q - mn[:, None], 0).astype(jnp.uint64)
+    deltas = jnp.where(mask, q - mn[:, None], 0).astype(udt)
     maxd = jnp.where(mask, deltas, 0).max(axis=1)
     return deltas, mn, maxd
 
@@ -195,6 +197,26 @@ def _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q: bool):
     deltas, mn, maxd = _delta_stats(qb, mask)
     valid = in_range | ~periodic
     return deltas, mn, maxd, valid
+
+
+@partial(jax.jit, static_argnames=("clamp_q",))
+def prepare_float_blocks_fast32(x, low, pixels, n, periodic,
+                                b, eb, m0, m1, clamp_q: bool = False):
+    """All-native-width encode prep for pixel counts < 2^29: int32
+    pixels, uint32 deltas -- no emulated 64-bit arithmetic anywhere, half
+    the HBM traffic of the 64-bit path.  Same certification semantics as
+    :func:`prepare_float_blocks_fast`."""
+    from . import fastdiv
+
+    width = x.shape[1]
+    mask = _mask(n, width)
+    diff = x.astype(jnp.float32) - low[:, None]
+    q, exact = fastdiv.quantize_fast(diff, b[:, None], eb[:, None],
+                                     m0[:, None], m1[:, None], out32=True)
+    all_exact = jnp.where(mask, exact, True).all(axis=1)
+    deltas, mn, maxd, valid = _finish_float_blocks(
+        q, pixels.astype(jnp.int32), n, periodic, mask, clamp_q)
+    return deltas, mn, maxd, valid & all_exact
 
 
 @partial(jax.jit, static_argnames=("clamp_q",))

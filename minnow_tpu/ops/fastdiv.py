@@ -62,12 +62,14 @@ def divisor_magic(dx):
     return (b, eb.astype(np.int64), m0, m1, ok)
 
 
-def quantize_fast(diff, b, eb, m0, m1):
+def quantize_fast(diff, b, eb, m0, m1, out32: bool = False):
     """``floor(RN32(diff / dx))`` for f32 ``diff`` (any shape) and
     per-block divisor decomposition broadcast against it.
 
-    Returns ``(q int64, exact bool)``; where ``exact`` is False the value
-    is unspecified and the caller must use the normative fallback."""
+    Returns ``(q, exact)``; where ``exact`` is False the value is
+    unspecified and the caller must use the normative fallback.  With
+    ``out32`` the result is int32 and quotients with |q| >= 2^30 are
+    flagged -- the all-native-width path for pixel counts < 2^31."""
     bits = jax.lax.bitcast_convert_type(diff, jnp.uint32)
     sign = bits >> np.uint32(31)
     e_raw = ((bits >> np.uint32(23)) & np.uint32(0xFF)).astype(jnp.int64)
@@ -113,7 +115,7 @@ def quantize_fast(diff, b, eb, m0, m1):
     m_mant = jnp.where(ovf, np.uint64(1 << 23), m_mant)
     e_z = e_z + ovf.astype(jnp.int64)
 
-    invalid = invalid | (e_z >= 62) | (e_z < -120)
+    invalid = invalid | (e_z >= (30 if out32 else 62)) | (e_z < -120)
 
     # floor(+-M * 2^(E-23))
     up_sh = jnp.clip(e_z - 23, 0, 63).astype(jnp.uint64)
@@ -122,8 +124,9 @@ def quantize_fast(diff, b, eb, m0, m1):
     q_mag = jnp.where(big, m_mant << up_sh, m_mant >> dn_sh)
     frac_mask = (np.uint64(1) << dn_sh) - np.uint64(1)
     frac = (~big) & ((m_mant & frac_mask) != 0)
-    q_val = jnp.where(sign == 0, q_mag.astype(jnp.int64),
-                      -(q_mag.astype(jnp.int64)) - frac.astype(jnp.int64))
+    idt = jnp.int32 if out32 else jnp.int64
+    q_val = jnp.where(sign == 0, q_mag.astype(idt),
+                      -(q_mag.astype(idt)) - frac.astype(idt))
     q_val = jnp.where(is_zero, 0, q_val)
     # zero diffs are exact by definition (quotient 0); their mantissa
     # path computes garbage exponents that must not flag them

@@ -180,12 +180,17 @@ class BlockEncoder:
         sharded = self._shard(x, low, periodic, db, deb, dm0, dm1)
         (x_d, low_d, per_d, db_d, deb_d, dm0_d, dm1_d) = sharded
         (pix_d, lens_d) = self._shard(pixels, lens_p)
-        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast(
+        # all-native-width graph when every pixel count fits 29 bits
+        # (int32 arithmetic + uint32 deltas; no 64-bit emulation)
+        prep = codec.prepare_float_blocks_fast32 \
+            if int(pixels.max()) < (1 << 29) \
+            else codec.prepare_float_blocks_fast
+        deltas, mins, maxd, valid = prep(
             x_d, low_d, pix_d, lens_d, per_d, db_d, deb_d, dm0_d, dm1_d,
             clamp_q=clamp_q)
         deltas = deltas[:b]  # stays on device
-        mins = np.asarray(mins)[:b].copy()
-        maxd = np.asarray(maxd)[:b].copy()
+        mins = np.asarray(mins)[:b].astype(np.int64)
+        maxd = np.asarray(maxd)[:b].astype(np.uint64)
         valid = np.asarray(valid)[:b] & dok[:b]
 
         if not valid.all():
