@@ -19,7 +19,6 @@ import struct
 import sys
 
 import minnow_tpu as minnow
-from ..core import spec
 
 
 def verify(fname: str, deep: bool = False) -> list:

@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-from ..core import spec, types as ctypes_
+from ..core import types as ctypes_
 from ..core.writer import Writer as MinnowWriter
 from ..core.reader import Reader as MinnowReader
 from ..ops import gomath

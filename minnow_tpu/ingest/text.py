@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 import io
-import os
 
 import numpy as np
 
