@@ -23,17 +23,21 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=10, sync=lambda out: out[1]):
-    """Average seconds per call, synchronized by downloading a small
-    output each iteration (block_until_ready on the tunneled device
-    returns before remote completion; a device->host fetch does not)."""
+def _time(fn, *args, iters=5, reps=4, sync=lambda out: out[1]):
+    """Best-of-reps average seconds per call, synchronized by downloading
+    a small output each iteration (block_until_ready on the tunneled
+    device returns before remote completion; a device->host fetch does
+    not).  min-of-reps rejects tunnel latency spikes."""
     np.asarray(sync(fn(*args)))  # warmup / compile
     np.asarray(sync(fn(*args)))  # settle placement
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    for o in outs:
-        np.asarray(sync(o))
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        for o in outs:
+            np.asarray(sync(o))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _bench_shape(b, n, bits, low, high, dx):
@@ -110,6 +114,52 @@ def bench_device(b=64, n_small=1 << 17, n_large=1 << 21):
     }
 
 
+def bench_extra_configs():
+    """Secondary BASELINE.json configs: raw bit-pack round trip and the
+    64-bit int-column (halo ID) path.  Slope-based like the headline."""
+    import jax
+
+    from minnow_tpu.ops import bitpack, codec
+
+    out = {}
+    rng = np.random.default_rng(1)
+
+    def slope(fn, make_args, n1, n2, sync):
+        a1, by1 = make_args(n1)
+        a2, by2 = make_args(n2)
+        t1 = _time(fn, *a1, sync=sync)
+        t2 = _time(fn, *a2, sync=sync)
+        return (by2 - by1) / 1e9 / max(t2 - t1, 1e-9)
+
+    # config 1: fixed-width pack + unpack round trip at 18 bits
+    pack18 = jax.jit(lambda d: bitpack.pack_batch(d, 18))
+
+    def pack_args(n):
+        d = rng.integers(0, 1 << 18, (64, n)).astype(np.uint32)
+        return (jax.device_put(d),), d.nbytes
+
+    out["bitpack18_GBps"] = round(
+        slope(pack18, pack_args, 1 << 17, 1 << 21,
+              sync=lambda o: o[0, :1]), 3)
+
+    # config: int64 ID column (64-bit delta path)
+    @jax.jit
+    def enc_ids(x, lens):
+        deltas, mins, maxd = codec.prepare_int_blocks(x, lens)
+        deltas = jax.lax.optimization_barrier(deltas)
+        return bitpack.pack_batch(deltas, 41), mins
+
+    def id_args(n):
+        x = rng.integers(0, 10**12, (64, n), dtype=np.int64)
+        lens = np.full(64, n, np.int64)
+        return (jax.device_put(x), jax.device_put(lens)), x.nbytes
+
+    out["int64_id_encode_GBps"] = round(
+        slope(enc_ids, id_args, 1 << 15, 1 << 18,
+              sync=lambda o: o[1]), 3)
+    return out
+
+
 def bench_native_baseline(n=1 << 22):
     """Single-core native C++ quantize+delta+pack (reference class)."""
     from minnow_tpu import native
@@ -167,6 +217,10 @@ def main():
         "device": str(jax.devices()[0]),
     }
     detail.update(extra)
+    try:
+        detail.update(bench_extra_configs())
+    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
+        detail["extra_configs_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "minh position-column encode+decode throughput/chip "
                   "(%s, bit-exact validated, slope-based)" % backend,
