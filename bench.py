@@ -63,9 +63,6 @@ def _bench_shape(b, n, bits, low, high, dx):
     def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
         deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
             x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
-        # materialization boundary: keeps XLA from fusing the quantize
-        # chain into every packed-word read
-        deltas = jax.lax.optimization_barrier(deltas)
         words = bitpack.pack_batch(deltas, bits)
         return words, mins, maxd, valid
 

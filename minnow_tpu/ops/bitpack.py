@@ -79,84 +79,86 @@ def _masks(bits: int):
     return lo_mask, hi_mask
 
 
-def _shift_parts(x, offs, width: int):
-    """For (T, 32) values ``x`` whose element j sits at bit offset
-    ``offs[j]`` (mod 32) with ``width`` significant bits, return the
-    in-word and spill-word contributions as two (T, 32) arrays, plus the
-    per-element target word index.
+def _shift_parts(x, offs):
+    """For (32, T) values ``x`` whose element row j sits at bit offset
+    ``offs[j]`` (mod 32), return the in-word and spill-word contributions
+    as two (32, T) arrays, plus the per-row target word index.
 
-    Single vectorized shifts (per-lane shift amounts) + masked spill --
-    the codegen shape Mosaic compiles correctly, unlike long unrolled
-    scalar-shift accumulation chains which silently drop bits on TPU
-    (see tools/tpu_or_chain_repro.py)."""
+    Element rows, tile columns: the tile axis is the lane axis (fully
+    occupied for any T >= 128), shifts broadcast per row.  Vectorized
+    shifts + reductions are also the codegen shape Mosaic compiles
+    correctly -- long unrolled scalar-shift accumulation chains silently
+    drop bits on TPU (see tools/tpu_or_chain_repro.py)."""
     s = (offs % 32).astype(np.uint32)  # (32,)
     w = offs // 32
-    part_lo = x << s[None, :]
+    part_lo = x << s[:, None]
     # spill = x >> (32 - s) for s > 0; for s == 0 the shift amount wraps,
     # so mask the result instead of branching
     s2 = ((32 - s) % 32).astype(np.uint32)
-    part_hi = jnp.where((s > 0)[None, :], x >> s2[None, :],
+    part_hi = jnp.where((s > 0)[:, None], x >> s2[:, None],
                         jnp.uint32(0))
     return part_lo, part_hi, w
 
 
 def _segment_sum_words(parts, words_idx, bits: int, t: int):
-    """Sum (T, 32) contribution columns into (T, bits) words.  For fixed
+    """Sum (32, T) contribution rows into (bits, T) words.  For fixed
     width the element->word map is monotone, so each word's contributors
-    are a contiguous column range: static slice + sum-reduce (OR == ADD,
-    contributions occupy disjoint bits)."""
-    total = jnp.zeros((t, bits), jnp.uint32)
-    for part, idx in zip(parts, words_idx):
-        cols = []
-        for w in range(bits):
+    are a contiguous row range: static slice + sublane sum-reduce
+    (OR == ADD, contributions occupy disjoint bits)."""
+    rows = []
+    for w in range(bits):
+        acc = None
+        for part, idx in zip(parts, words_idx):
             j0 = int(np.searchsorted(idx, w, side="left"))
             j1 = int(np.searchsorted(idx, w, side="right"))
             if j1 > j0:
-                cols.append(part[:, j0:j1].sum(axis=1, dtype=jnp.uint32))
-            else:
-                cols.append(jnp.zeros((t,), jnp.uint32))
-        total = total + jnp.stack(cols, axis=1)
-    return total
+                seg = part[j0:j1].sum(axis=0, dtype=jnp.uint32)
+                acc = seg if acc is None else acc + seg
+        rows.append(acc if acc is not None
+                    else jnp.zeros((t,), jnp.uint32))
+    return jnp.stack(rows, axis=0)  # (bits, T)
 
 
 def _pack_tiles(lo_t, hi_t, bits: int):
-    """Pack (T, 32) uint32 element halves into (T, bits) words."""
-    t = lo_t.shape[0]
+    """Pack (32, T) uint32 element halves into (T, bits) words."""
+    t = lo_t.shape[1]
     lo_mask, hi_mask = _masks(bits)
     offs = np.arange(_TILE, dtype=np.int64) * bits
 
     parts = []
     idxs = []
     lo_m = lo_t & lo_mask
-    p_lo, p_spill, w = _shift_parts(lo_m, offs, min(bits, 32))
+    p_lo, p_spill, w = _shift_parts(lo_m, offs)
     parts += [p_lo, p_spill]
     idxs += [w, w + 1]
     if bits > 32:
         hi_m = hi_t & hi_mask
         # hi half sits 32 bits further along: word w+1, same shift
-        q_lo, q_spill, _ = _shift_parts(hi_m, offs, bits - 32)
+        q_lo, q_spill, _ = _shift_parts(hi_m, offs)
         parts += [q_lo, q_spill]
         idxs += [w + 1, w + 2]
-    return _segment_sum_words(parts, idxs, bits, t)
+    return _segment_sum_words(parts, idxs, bits, t).T  # (T, bits)
 
 
 def _unpack_tiles(words_t, bits: int):
     """Inverse of :func:`_pack_tiles`: (T, bits) words -> (lo, hi) of
-    shape (T, 32).  Static-index gathers + per-lane vector shifts."""
+    shape (T, 32).  Word rows gathered by static index, per-row vector
+    shifts, tiles on the lane axis."""
     lo_mask, hi_mask = _masks(bits)
     offs = np.arange(_TILE, dtype=np.int64) * bits
+    wt = words_t.T  # (bits, T)
 
     def extract(base_off, mask):
         s = (base_off % 32).astype(np.uint32)
         w = np.minimum(base_off // 32, bits - 1)
         w2 = np.minimum(base_off // 32 + 1, bits - 1)
-        a = words_t[:, w]
-        b = words_t[:, w2]
+        a = wt[w]  # (32, T) static row gather
+        b = wt[w2]
         s2 = ((32 - s) % 32).astype(np.uint32)
-        out = a >> s[None, :]
-        out = out | jnp.where((s > 0)[None, :], b << s2[None, :],
+        out = a >> s[:, None]
+        out = out | jnp.where((s > 0)[:, None], b << s2[:, None],
                               jnp.uint32(0))
-        return out & mask
+        return (out & mask).T  # (T, 32)
 
     lo = extract(offs, lo_mask)
     if bits > 32:
@@ -176,7 +178,7 @@ def _pack_1d(lo, hi, bits: int):
         lo = jnp.pad(lo, (0, pad))
         hi = jnp.pad(hi, (0, pad))
     t = (n + pad) // _TILE
-    words = _pack_tiles(lo.reshape(t, _TILE), hi.reshape(t, _TILE),
+    words = _pack_tiles(lo.reshape(t, _TILE).T, hi.reshape(t, _TILE).T,
                         bits).reshape(t * bits)
     return words[: words_per_block(bits, n)]
 
