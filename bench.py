@@ -71,8 +71,8 @@ def _bench_shape(b, n, bits, low, high, dx):
         q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
             + mins[:, None]
         q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
-        return codec.dequantize(q, lowv[:, None], highv[:, None],
-                                pixv[:, None])
+        return codec.dequantize24(q, lowv[:, None], highv[:, None],
+                                  pixv[:, None])
 
     enc_args = tuple(jax.device_put(a) for a in
                      (x, lowv, pixv, lens, periodic, db, deb, dm0, dm1))

@@ -115,7 +115,35 @@ def dequantize(q, low, high, pixels, u=None):
     else:
         v = _rp32(_rp32(_f64(q)) + _rp32(_f64(u)))
     prod = _rp32(dx * v)
-    return _rp32(prod + _f64(low)).astype(jnp.float32)
+    # final add needs no explicit rounding pin: the f64 sum of two
+    # f32-valued numbers is exact, the downcast is exactly the IEEE f32
+    # add, and FMA fusion is blocked by the _rp32 on prod
+    return (prod + _f64(low)).astype(jnp.float32)
+
+
+def dequantize24(q, low, high, pixels, u=None):
+    """All-native-f32 dequantize for ``pixels <= 2^24`` (every realistic
+    config): with q < 2^24, ``f32(q)`` is exact, so the only rounding
+    hazard left is FMA contraction of ``dx*v + low`` -- blocked by one
+    numerically-identity ReducePrecision(8, 23) on the product.  No f64
+    emulation anywhere.  Caller guarantees the pixel bound (host check);
+    bitwise equality with spec.dequantize is enforced by
+    ops/validate.py on every backend."""
+    low32 = jnp.asarray(low, jnp.float32)
+    dx = _dx64(low32, jnp.asarray(high, jnp.float32),
+               pixels).astype(jnp.float32)  # per block, tiny
+    v = q.astype(jnp.float32)
+    if u is not None:
+        v = v + u.astype(jnp.float32)
+    # Block FMA contraction of dx*v + low with a select on a per-element
+    # always-true-but-unprovable predicate (q >= min(q): the reduction
+    # value is runtime data).  Scalar predicates get hoisted out of the
+    # vectorized loop and the contraction returns; identity
+    # ReducePrecision and optimization_barrier are likewise eliminated /
+    # ignored (all measured on the CPU backend).
+    prod = dx * v
+    prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
+    return prod + low32
 
 
 def bits_needed(max_delta):

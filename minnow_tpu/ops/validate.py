@@ -87,6 +87,19 @@ def validate_dequantize(n: int = 200_000, seed: int = 1) -> None:
         got = np.asarray(jd(
             jnp.asarray(q), np.float32(low), np.float32(high),
             np.int64(pixels)))
+        if pixels <= (1 << 24):
+            j24 = jax.jit(lambda q, lo, hi, p: codec.dequantize24(
+                q.astype(jnp.int32), lo, hi, p))
+            got24 = np.asarray(j24(
+                jnp.asarray(q), np.float32(low), np.float32(high),
+                np.int64(pixels)))
+            bad = np.nonzero(got24.view(np.int32)
+                             != want.view(np.int32))[0]
+            if bad.size:
+                raise AssertionError(
+                    "dequantize24 diverges from spec: %d mismatches "
+                    "(e.g. q=%d want %.9g got %.9g)"
+                    % (bad.size, q[bad[0]], want[bad[0]], got24[bad[0]]))
         if not np.array_equal(got.view(np.int32), want.view(np.int32)):
             bad = np.nonzero(got.view(np.int32) != want.view(np.int32))[0]
             raise AssertionError(
