@@ -62,7 +62,13 @@ def read_floats(reader: minh_mod.Reader, names, dither: str = "uniform",
                 mins[row] = mn
                 lows[row], highs[row], pixels[row], periodic[row] = params
             block_ids = np.asarray(ids, np.int64)
-            dec = np.asarray(codec.decode_float_blocks(
+            # all-native-width decode when every bound fits (the common
+            # case); bit-identical to the generic path
+            fast = (bits <= 32 and pixels.max() <= (1 << 24)
+                    and np.abs(mins).max() < (1 << 30))
+            decode = codec.decode_float_blocks32 if fast \
+                else codec.decode_float_blocks
+            dec = np.asarray(decode(
                 words, mins, lows, highs, pixels, periodic, block_ids,
                 int(bits), int(n), dither=dither, seed=seed))
             for row, b in enumerate(ids):

@@ -294,6 +294,37 @@ def decode_int_blocks(words, mins, bits: int, n: int):
     return deltas.astype(jnp.int64) + mins[:, None]
 
 
+def _dither_u(block_ids, n, dither, seed):
+    if dither == "none":
+        return None
+    if dither == "midpoint":
+        return jnp.full((block_ids.shape[0], n), 0.5, jnp.float32)
+    if dither == "uniform":
+        base = jax.random.PRNGKey(seed)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(block_ids)
+        return jax.vmap(
+            lambda k: jax.random.uniform(k, (n,), dtype=jnp.float32))(keys)
+    raise ValueError("unknown dither mode %r" % dither)
+
+
+@partial(jax.jit, static_argnames=("bits", "n", "dither"))
+def decode_float_blocks32(words, mins, low, high, pixels, periodic,
+                          block_ids, bits: int, n: int,
+                          dither: str = "none", seed: int = 0):
+    """All-native-width batched float decode for bits <= 32 and
+    pixels <= 2^24 (caller-checked): uint32 unpack, int32 recentering,
+    native-f32 dequantize.  Bit-identical to decode_float_blocks."""
+    from . import bitpack
+
+    q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
+        + mins[:, None].astype(jnp.int32)
+    p32 = pixels[:, None].astype(jnp.int32)
+    q = jnp.where(periodic[:, None], bound(q, 0, p32), q)
+    u = _dither_u(block_ids, n, dither, seed)
+    return dequantize24(q, low[:, None], high[:, None], pixels[:, None],
+                        u)
+
+
 @partial(jax.jit, static_argnames=("bits", "n", "dither"))
 def decode_float_blocks(words, mins, low, high, pixels, periodic,
                         block_ids, bits: int, n: int,
@@ -307,15 +338,5 @@ def decode_float_blocks(words, mins, low, high, pixels, periodic,
     q = decode_int_blocks(words, mins, bits, n)
     p = pixels[:, None]
     q = jnp.where(periodic[:, None], bound(q, 0, p), q)
-    if dither == "none":
-        u = None
-    elif dither == "midpoint":
-        u = jnp.full(q.shape, 0.5)
-    elif dither == "uniform":
-        base = jax.random.PRNGKey(seed)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(block_ids)
-        u = jax.vmap(
-            lambda k: jax.random.uniform(k, (n,), dtype=jnp.float32))(keys)
-    else:
-        raise ValueError("unknown dither mode %r" % dither)
+    u = _dither_u(block_ids, n, dither, seed)
     return dequantize(q, low[:, None], high[:, None], p, u)

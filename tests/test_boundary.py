@@ -156,3 +156,86 @@ def test_normalize_coords():
                                 30.0)
     np.testing.assert_allclose(out[0], [5.0, 11.0, 30.0])  # 30 clipped
     np.testing.assert_allclose(out[1], [5.0, 5.0, 5.0])
+
+
+def _brute_force_membership(x, y, z, l, cells, bnd):
+    """Literal per-point transcription of the reference's assignment
+    loops (ref go/minh/boundary.go:54-152), used as ground truth."""
+    import math
+
+    dx = np.float32(l) / np.float32(cells)
+    sb = np.float32(bnd) / dx
+    members = [[] for _ in range(cells ** 3)]
+    flags = [[] for _ in range(cells ** 3)]
+    for i in range(len(x)):
+        vec = [np.float32(x[i]) / dx, np.float32(y[i]) / dx,
+               np.float32(z[i]) / dx]
+        idx, reg = [0] * 3, [0] * 3
+        for k in range(3):
+            idx[k] = int(vec[k])
+            if idx[k] >= cells:
+                idx[k] -= cells
+                vec[k] = np.float32(vec[k] - np.float32(l))
+            low = np.float32(idx[k])
+            if vec[k] < low + sb:
+                reg[k] = -1
+            elif vec[k] >= low + 1 - sb:
+                reg[k] = 1
+        gs = [idx[0] + idx[1] * cells + idx[2] * cells * cells]
+        for zb in (0, 1):
+            if reg[2] == 0 and zb == 1:
+                continue
+            for yb in (0, 1):
+                if reg[1] == 0 and yb == 1:
+                    continue
+                for xb in (0, 1):
+                    if reg[0] == 0 and xb == 1:
+                        continue
+                    d = [xb * reg[0], yb * reg[1], zb * reg[2]]
+                    if d == [0, 0, 0]:
+                        continue
+                    v = [0] * 3
+                    for k in range(3):
+                        v[k] = idx[k] + d[k]
+                        if v[k] < 0:
+                            v[k] += cells
+                        if v[k] >= cells:
+                            v[k] -= cells
+                    gs.append(v[0] + v[1] * cells + v[2] * cells * cells)
+        members[gs[0]].append(i)
+        flags[gs[0]].append(0)
+        for g in gs[1:]:
+            members[g].append(i)
+            flags[g].append(1)
+    return members, flags
+
+
+def test_boundary_membership_matches_brute_force(tmp_path):
+    """Vectorized assignment == literal reference loops on random data,
+    including wrap-around and corner duplication."""
+    rng = np.random.default_rng(31337)
+    l, cells, bnd = 100.0, 3, 8.0
+    n = 500
+    # bias points toward edges to stress boundary regions
+    x = (rng.uniform(-2, 102, n) % 100).astype(np.float32)
+    y = (rng.uniform(-2, 102, n) % 100).astype(np.float32)
+    z = (rng.uniform(-2, 102, n) % 100).astype(np.float32)
+
+    fname = str(tmp_path / "bf.minh")
+    w = boundary.create_boundary(fname)
+    w.header("")
+    w.geometry(l, bnd, cells)
+    w.coordinates(x, y, z)
+    w.column("pid", minh.Column(type=minh.Int),
+             np.arange(n, dtype=np.int64))
+    w.close()
+
+    want_members, want_flags = _brute_force_membership(
+        x, y, z, l, cells, bnd)
+
+    r = minh.open(fname)
+    for c in range(cells ** 3):
+        blk = r.int_block(c, ["pid", "boundary"])
+        assert list(blk["pid"]) == want_members[c], c
+        assert list(blk["boundary"]) == want_flags[c], c
+    r.close()
