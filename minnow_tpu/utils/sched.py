@@ -12,7 +12,8 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 
 __all__ = ["split", "split_array", "worker_queue",
-           "contiguous", "jump"]
+           "contiguous", "jump", "weighted_contiguous",
+           "weighted_bounds"]
 
 
 def worker_queue(workers: int, jobs: int, work) -> None:
@@ -44,8 +45,32 @@ def jump():
     return "jump"
 
 
+def weighted_contiguous(weights):
+    """Weighted contiguous strategy (declared but left as a
+    'not yet implemented' panic in the reference --
+    ref go/thread/thread.go:60-62,133-137; implemented here)."""
+    return ("weighted", list(weights))
+
+
+def weighted_bounds(weights, workers: int):
+    """Contiguous chunk boundaries with roughly equal total weight:
+    worker w gets jobs [bounds[w], bounds[w+1])."""
+    total = float(sum(weights)) or 1.0
+    target = total / workers
+    bounds = [0]
+    acc = 0.0
+    for i, wt in enumerate(weights):
+        acc += wt
+        while len(bounds) < workers and acc >= target * len(bounds):
+            bounds.append(i + 1)
+    while len(bounds) < workers:
+        bounds.append(len(weights))
+    bounds.append(len(weights))
+    return bounds
+
+
 def split_array(jobs: int, workers: int, work,
-                strategy: str = "contiguous") -> None:
+                strategy="contiguous") -> None:
     """Partition ``range(jobs)`` across workers; ``work(worker, start,
     end, step)`` loops ``for i in range(start, end, step)``
     (ref go/thread/thread.go:88-131)."""
@@ -62,5 +87,12 @@ def split_array(jobs: int, workers: int, work,
         split(workers, job)
     elif strategy == "jump":
         split(workers, lambda w: work(w, w, jobs, workers))
+    elif isinstance(strategy, tuple) and strategy[0] == "weighted":
+        weights = strategy[1]
+        if len(weights) != jobs:
+            raise ValueError("need one weight per job")
+        bounds = weighted_bounds(weights, workers)
+        split(workers,
+              lambda w: work(w, bounds[w], bounds[w + 1], 1))
     else:
-        raise ValueError("Unknown strategy, %r." % strategy)
+        raise ValueError("Unknown strategy, %r." % (strategy,))

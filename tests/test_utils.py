@@ -60,3 +60,28 @@ def test_gather_blocks_single_process_identity():
     out = gather_blocks(enc)
     assert out is enc
     assert is_coordinator()
+
+
+def test_weighted_contiguous_balances_and_covers():
+    from minnow_tpu.utils.sched import (split_array, weighted_bounds,
+                                        weighted_contiguous)
+
+    rng = np.random.default_rng(0)
+    weights = rng.uniform(0.1, 10, 100)
+    x = np.arange(100)
+    parts = np.zeros(8, dtype=np.int64)
+    seen = np.zeros(100, dtype=bool)
+
+    def work(w, start, end, step):
+        for i in range(start, end, step):
+            parts[w] += x[i]
+            assert not seen[i]
+            seen[i] = True
+
+    split_array(100, 8, work, weighted_contiguous(weights))
+    assert seen.all()
+    assert parts.sum() == x.sum()
+    # balance: chunk weights within 2x of the mean target
+    bounds = weighted_bounds(weights, 8)
+    sums = [weights[bounds[w]:bounds[w + 1]].sum() for w in range(8)]
+    assert max(sums) <= 2 * weights.sum() / 8 + weights.max()
