@@ -85,3 +85,24 @@ def test_weighted_contiguous_balances_and_covers():
     bounds = weighted_bounds(weights, 8)
     sums = [weights[bounds[w]:bounds[w + 1]].sum() for w in range(8)]
     assert max(sums) <= 2 * weights.sum() / 8 + weights.max()
+
+
+def test_multiprocess_gather_two_jax_processes():
+    """Real 2-process jax.distributed run (CPU, gloo): gathered blocks
+    on process 0 are byte-identical to a single-process encode in
+    process-major writer order (tools/multiprocess_gather_check.py)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # workers don't need the virtual mesh
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(root, "tools", "multiprocess_gather_check.py")],
+        env=env, capture_output=True, text=True, timeout=180)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "multiprocess gather OK" in res.stdout
