@@ -41,10 +41,6 @@ __all__ = [
     "decode_float_blocks",
 ]
 
-_I64_MAX = np.int64(2**63 - 1)
-_I64_MIN = np.int64(-(2**63))
-
-
 def _use_reduce_precision() -> bool:
     # TPU's X64 rewriter (f64 emulated as float pairs) has no rule for
     # f64 reduce-precision; use a convert round-trip there instead.
