@@ -100,15 +100,25 @@ def bench_device(b=64, n_small=1 << 17, n_large=1 << 21):
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
     te1, td1, by1 = _bench_shape(b, n_small, bits, low, high, dx)
     te2, td2, by2 = _bench_shape(b, n_large, bits, low, high, dx)
-    dby = (by2 - by1) / 1e9
-    enc_gbs = dby / max(te2 - te1, 1e-9)
-    dec_gbs = dby / max(td2 - td1, 1e-9)
+    enc_gbs = _safe_slope(by1, by2, te1, te2)
+    dec_gbs = _safe_slope(by1, by2, td1, td2)
     return enc_gbs, dec_gbs, by2 / 1e9, {
         "dispatch_floor_ms_encode": round(
             (te1 - by1 / 1e9 / enc_gbs) * 1e3, 2),
         "large_batch_encode_GBps": round(by2 / 1e9 / te2, 3),
         "large_batch_decode_GBps": round(by2 / 1e9 / td2, 3),
     }
+
+
+def _safe_slope(by1, by2, t1, t2):
+    """Slope GB/s with a sanity fallback: tunnel timing noise can make
+    t2 <= t1, which would explode the slope -- use the large-batch
+    number instead (conservative: it still includes the dispatch
+    floor)."""
+    dt = t2 - t1
+    if dt > 0.2 * t2:
+        return (by2 - by1) / 1e9 / dt
+    return by2 / 1e9 / t2
 
 
 def bench_extra_configs():
@@ -126,7 +136,7 @@ def bench_extra_configs():
         a2, by2 = make_args(n2)
         t1 = _time(fn, *a1, sync=sync)
         t2 = _time(fn, *a2, sync=sync)
-        return (by2 - by1) / 1e9 / max(t2 - t1, 1e-9)
+        return _safe_slope(by1, by2, t1, t2)
 
     # config 1: fixed-width pack + unpack round trip at 18 bits
     pack18 = jax.jit(lambda d: bitpack.pack_batch(d, 18))
