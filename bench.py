@@ -116,8 +116,10 @@ def _safe_slope(by1, by2, t1, t2):
     number instead (conservative: it still includes the dispatch
     floor)."""
     dt = t2 - t1
-    if dt > 0.2 * t2:
-        return (by2 - by1) / 1e9 / dt
+    if dt > 1e-6:
+        slope = (by2 - by1) / 1e9 / dt
+        if slope < 2000:  # v5e HBM bound; anything above is noise
+            return slope
     return by2 / 1e9 / t2
 
 
