@@ -15,6 +15,14 @@ import numpy as np
 
 from . import spec
 from .blockindex import BlockIndex
+
+
+def _native():
+    """The C++ bit kernel (byte-identical to spec, validated in
+    tests/test_native.py); spec fallback when no compiler is present."""
+    from .. import native
+
+    return native
 from .types import (
     FIXED_SIZE_BYTES,
     FIXED_SIZE_DTYPES,
@@ -90,7 +98,8 @@ class IntGroup(BlockIndex):
         if x.size != self.n:
             raise ValueError("block has %d elements, group expects %d"
                              % (x.size, self.n))
-        payload, mn, bits = spec.encode_int_block(x)
+        payload, mn, bits = spec.encode_int_block(
+            x, pack=_native().pack_bits)
         self.write_encoded(f, payload, mn, bits)
 
     def write_encoded(self, f, payload: bytes, mn: int, bits: int) -> None:
@@ -117,7 +126,8 @@ class IntGroup(BlockIndex):
         i = b - self.start_block
         bits, mn = self.bits[i], self.mins[i]
         payload = f.read(spec.array_bytes(bits, self.n)) if bits else b""
-        arr = spec.decode_int_block(payload, mn, bits, self.n)
+        arr = spec.decode_int_block(payload, mn, bits, self.n,
+                                    unpack=_native().unpack_bits)
         if out is not None:
             out[...] = arr
             return out
@@ -186,7 +196,7 @@ class FloatGroup:
                              % (x.size, self.ig.n))
         payload, mn, bits, _ = spec.encode_float_block(
             x, self.low, self.high, self.pixels, self.periodic == 1,
-            clamp_q=self.clamp_q)
+            clamp_q=self.clamp_q, pack=_native().pack_bits)
         self.ig.write_encoded(f, payload, mn, bits)
 
     def write_encoded(self, f, payload: bytes, mn: int, bits: int) -> None:

@@ -275,11 +275,13 @@ def dequantize(q, low: float, high: float, pixels: int, u=None) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_int_block(x):
+def encode_int_block(x, pack=None):
     """Min-subtract + bit-pack one int64 block (ref go/group.go:242-255).
 
     Returns ``(payload_bytes, min, bits)``.  Deltas are computed with int64
     wraparound then reinterpreted as uint64, exactly as Go does.
+    ``pack`` swaps the bit packer (e.g. the native C++ kernel, which is
+    byte-identical); default is the normative numpy packer.
     """
     x = np.asarray(x, dtype=np.int64)
     if x.size == 0:
@@ -288,17 +290,19 @@ def encode_int_block(x):
         mn = np.int64(x.min())
     deltas = (x - mn).view(np.uint64)
     bits = precision_needed(int(deltas.max())) if x.size else 0
-    return pack_bits(deltas, bits), int(mn), bits
+    return (pack or pack_bits)(deltas, bits), int(mn), bits
 
 
-def decode_int_block(payload: bytes, mn: int, bits: int, n: int) -> np.ndarray:
+def decode_int_block(payload: bytes, mn: int, bits: int, n: int,
+                     unpack=None) -> np.ndarray:
     """Inverse of :func:`encode_int_block` (ref go/group.go:257-263)."""
-    deltas = unpack_bits(payload, bits, n)
+    deltas = (unpack or unpack_bits)(payload, bits, n)
     return (deltas.view(np.int64) + np.int64(mn)).astype(np.int64)
 
 
 def encode_float_block(x, low: float, high: float, pixels: int,
-                       periodic: bool = True, clamp_q: bool = False):
+                       periodic: bool = True, clamp_q: bool = False,
+                       pack=None):
     """Quantize + (optional) periodic recentering + int coding of one
     float32 block (ref go/group.go:312-327).
 
@@ -322,5 +326,5 @@ def encode_float_block(x, low: float, high: float, pixels: int,
         if not valid:
             m = periodic_min(q, pixels)
         q = bound(q, m, pixels)
-    payload, mn, bits = encode_int_block(q)
+    payload, mn, bits = encode_int_block(q, pack=pack)
     return payload, mn, bits, q

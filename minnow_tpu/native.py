@@ -64,7 +64,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def pack_bits(x, bits: int, threads: int = 0) -> bytes:
+def pack_bits(x, bits: int, threads: int = 1) -> bytes:
     """Native fixed-width pack; byte-identical to spec.pack_bits."""
     lib = _load()
     x = np.ascontiguousarray(np.asarray(x).view(np.uint64).ravel())
@@ -76,12 +76,12 @@ def pack_bits(x, bits: int, threads: int = 0) -> bytes:
     nbytes = spec.array_bytes(bits, n)
     out = np.zeros(nbytes + 16, dtype=np.uint8)
     lib.mnw_pack(x.ctypes.data, n, bits, out.ctypes.data,
-                 threads or os.cpu_count())
+                 threads or os.cpu_count())  # 0 = all cores
     return out[:nbytes].tobytes()
 
 
 def unpack_bits(data: bytes, bits: int, n: int,
-                threads: int = 0) -> np.ndarray:
+                threads: int = 1) -> np.ndarray:
     """Native unpack; equals spec.unpack_bits."""
     lib = _load()
     if lib is None:

@@ -1,0 +1,80 @@
+"""Native C++ engine vs the normative spec, byte-for-byte.
+
+The host container codec (core/groups.py) routes packing through the
+native kernel when available, so this equivalence is load-bearing for
+every host-written file (the golden digests also pin it end-to-end).
+"""
+
+import numpy as np
+import pytest
+
+from minnow_tpu import native
+from minnow_tpu.core import spec
+
+
+def test_native_builds():
+    assert native.available(), \
+        "native engine failed to build (g++ is baked into the image)"
+
+
+@pytest.mark.parametrize("bits", list(range(0, 65)))
+def test_native_pack_matches_spec(bits):
+    rng = np.random.default_rng(bits + 7)
+    x = rng.integers(0, 2**63, 777, dtype=np.int64).view(np.uint64)
+    x = (x << np.uint64(1)) | rng.integers(0, 2, 777).astype(np.uint64)
+    want = spec.pack_bits(x, bits)
+    assert native.pack_bits(x, bits) == want
+    back = native.unpack_bits(want, bits, 777)
+    np.testing.assert_array_equal(back, spec.unpack_bits(want, bits, 777))
+
+
+def test_native_pack_threaded_matches():
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 2**50, 300_000, dtype=np.int64).view(np.uint64)
+    for bits in (11, 18, 45):
+        want = spec.pack_bits(x, bits)
+        assert native.pack_bits(x, bits, threads=4) == want
+        back = native.unpack_bits(want, bits, len(x), threads=4)
+        np.testing.assert_array_equal(
+            back, spec.unpack_bits(want, bits, len(x)))
+
+
+def test_native_periodic_min_matches_greedy():
+    rng = np.random.default_rng(2)
+    for pixels in (7, 100, 10**6):
+        for _ in range(100):
+            n = int(rng.integers(1, 64))
+            x = rng.integers(0, pixels, n)
+            assert native.periodic_min(x, pixels) == \
+                spec.periodic_min(x, pixels)
+    # out-of-range inputs follow the literal greedy scan
+    x = np.array([5, 100, -3, 99])
+    assert native.periodic_min(x, 100) == spec.periodic_min(x, 100)
+
+
+def test_groups_use_native_and_stay_byte_identical(tmp_path):
+    """Writer output with the native packer == pure-spec bytes (the
+    golden digests in test_goldens.py provide the absolute pin; this is
+    the direct A/B)."""
+    import minnow_tpu as minnow
+    from minnow_tpu.core import groups
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-(2**42), 2**42, 5000, dtype=np.int64)
+    f1 = str(tmp_path / "native.minnow")
+    w = minnow.create(f1)
+    w.int_group(len(x))
+    w.data(x)
+    w.close()
+
+    payload, mn, bits = spec.encode_int_block(x)  # pure numpy
+    f2 = str(tmp_path / "spec.minnow")
+    w2 = minnow.create(f2)
+    w2.int_group(len(x))
+    w2.data_encoded(payload, mn, bits)
+    w2.close()
+
+    assert open(f1, "rb").read() == open(f2, "rb").read()
+    r = minnow.open(f1)
+    np.testing.assert_array_equal(r.data(0), x)
+    r.close()
