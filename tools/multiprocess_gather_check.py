@@ -37,19 +37,37 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
 
     rng = np.random.default_rng(7)
     all_x = rng.integers(-(2**40), 2**40, (8, 64), dtype=np.int64)
-    local = all_x[process_id * 4:(process_id + 1) * 4]  # process-major
+    all_f = rng.uniform(0, 99.9, (8, 64)).astype(np.float32)
+    local = slice(process_id * 4, (process_id + 1) * 4)  # process-major
 
-    enc = BlockEncoder().encode_int_blocks(local)
-    full = gather_blocks(enc)
+    be = BlockEncoder()
+    enc_i = gather_blocks(be.encode_int_blocks(all_x[local]))
+    from minnow_tpu.core import spec
+
+    pixels = spec.float_group_pixels(0.0, 100.0, 0.01)
+    enc_f = gather_blocks(be.encode_float_blocks(
+        all_f[local], 0.0, 100.0, pixels))
 
     if process_id == 0:
+        # coordinator writes ONE file from the gathered blocks --
+        # the BASELINE "ordered gather to one bit-exact file" config
+        import minnow_tpu as minnow
+
+        mp_file = out_file + ".minnow"
+        w = minnow.create(mp_file)
+        w.int_group(64)
+        enc_i.write_to(w)
+        w.float_group(64, (0.0, 100.0), 0.01)
+        enc_f.write_to(w)
+        w.close()
         with open(out_file, "wb") as f:
             pickle.dump({
-                "payloads": full.payloads,
-                "mins": np.asarray(full.mins),
-                "bits": np.asarray(full.bits),
-                "lens": np.asarray(full.lens),
+                "payloads": enc_i.payloads,
+                "mins": np.asarray(enc_i.mins),
+                "bits": np.asarray(enc_i.bits),
                 "all_x": all_x,
+                "all_f": all_f,
+                "mp_file": mp_file,
             }, f)
 
 
@@ -74,6 +92,7 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    import minnow_tpu as minnow
     from minnow_tpu.core import spec
 
     with open(out_file, "rb") as f:
@@ -84,8 +103,24 @@ def main() -> int:
         payload, mn, bits = spec.encode_int_block(all_x[i])
         assert got["payloads"][i] == payload, i
         assert got["mins"][i] == mn and got["bits"][i] == bits, i
-    print("multiprocess gather OK: 8 blocks, process-major order, "
-          "byte-identical to single-process encode")
+
+    # the coordinator-written file must be byte-identical to a pure
+    # single-process host write of the full dataset
+    ref_file = out_file + ".ref.minnow"
+    w = minnow.create(ref_file)
+    w.int_group(64)
+    for row in all_x:
+        w.data(row)
+    w.float_group(64, (0.0, 100.0), 0.01)
+    for row in got["all_f"]:
+        w.data(row)
+    w.close()
+    mp_bytes = open(got["mp_file"], "rb").read()
+    ref_bytes = open(ref_file, "rb").read()
+    assert mp_bytes == ref_bytes, "multiprocess file differs from host"
+    print("multiprocess gather OK: 16 blocks across int+float groups, "
+          "coordinator-written file byte-identical to a single-process "
+          "host write (%d bytes)" % len(mp_bytes))
     return 0
 
 
