@@ -132,3 +132,22 @@ def test_minp_device_writer_byte_identical(tmp_path):
             w.close()
         assert open(host_f, "rb").read() == open(dev_f, "rb").read(), \
             periodic
+
+
+def test_minp_device_reader_matches_host(tmp_path):
+    from minnow_tpu.formats import minp_device
+
+    rng = np.random.default_rng(77)
+    hd = minp.Header(l=100.0, n_side=8, n_total=512)
+    vec = rng.uniform(0, 99.9, (512, 3)).astype(np.float32)
+    for periodic in (True, False):
+        fname = str(tmp_path / ("p%d.minp" % periodic))
+        w = minp.create(fname)
+        w.header(hd, b"", minp.Cell(0, 1, 2), 0.01, periodic)
+        w.vectors(vec)
+        w.close()
+        r = minp.open(fname, dither="none")
+        host = r.vectors()
+        dev = minp_device.read_vectors(r, dither="none")
+        np.testing.assert_array_equal(dev, host)
+        r.close()
