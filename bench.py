@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=5, reps=4, sync=lambda out: out[1]):
+def _time(fn, *args, iters=5, reps=6, sync=lambda out: out[1]):
     """Best-of-reps average seconds per call, synchronized by downloading
     a small output each iteration (block_until_ready on the tunneled
     device returns before remote completion; a device->host fetch does

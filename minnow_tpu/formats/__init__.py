@@ -1,1 +1,1 @@
-from . import minh
+from . import boundary, minh, minh_device, minp, minp_device
