@@ -169,12 +169,24 @@ def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
         fm = _DeviceMinhWriter(fm, BlockEncoder())
     fm.header(names, header, cols)
     fm.geometry(np.float32(cfg["L"]), 0, 0)
-    for b in range(fr.blocks()):
-        data = fr.block(b, names, dtypes)
-        mass = data[cfg["MassName"]]
-        keep = mass > cutoff  # (ref text_to_minh.go:271-288)
-        if keep.any():
-            fm.block([data[n][keep] for n in names])
+
+    # parse/encode overlap: prefetch the next text block on a worker
+    # thread while the current one quantizes/packs/writes (the pipelined
+    # analog of the reference's sequential loop,
+    # ref text_to_minh.go:208-212)
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_blocks = fr.blocks()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(fr.block, 0, names, dtypes)
+        for b in range(n_blocks):
+            data = fut.result()
+            if b + 1 < n_blocks:
+                fut = pool.submit(fr.block, b + 1, names, dtypes)
+            mass = data[cfg["MassName"]]
+            keep = mass > cutoff  # (ref text_to_minh.go:271-288)
+            if keep.any():
+                fm.block([data[n][keep] for n in names])
     fm.close()
     fr.close()
 
