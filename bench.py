@@ -18,6 +18,7 @@ reference's Go encoder (single process, ref scripts/text_to_minh.go).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -169,6 +170,52 @@ def bench_extra_configs():
     return out
 
 
+def bench_text_to_minh(rows=250_000):
+    """End-to-end flagship pipeline wall clock: synthetic Rockstar
+    catalog -> parse -> mass cut -> quantize/delta/pack -> minh file
+    (the reference's per-file minutes print, ref text_to_minh.go:60-65,
+    as MB/s)."""
+    import tempfile
+
+    from minnow_tpu.cli import text_to_minh
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        m = 10.0 ** rng.uniform(9, 14, rows)
+        cols = np.column_stack([np.arange(rows),
+                                rng.uniform(0, 99.9, (rows, 3)), m])
+        hlist = os.path.join(td, "hlist_1.0.list")
+        with open(hlist, "w") as f:
+            f.write("#ID X Y Z Mvir\n")
+            np.savetxt(f, cols, fmt="%d %.5f %.5f %.5f %.6e")
+        with open(os.path.join(td, "names.txt"), "w") as f:
+            f.write("id ID\nx X\ny Y\nz Z\nmvir Mvir\n")
+        with open(os.path.join(td, "types.txt"), "w") as f:
+            f.write("id int64\nx q_float position\ny q_float position\n"
+                    "z q_float position\nmvir q_float log 1e5 1e16 "
+                    "0.001\n")
+        cfgf = os.path.join(td, "run.config")
+        with open(cfgf, "w") as f:
+            f.write("[minh]\nL = 100\nEpsilon = 0.001\nMp = 1e8\n"
+                    "MinParticles = 10\nMassName = mvir\n"
+                    "NameIndex = %s\nTypeIndex = %s\n"
+                    % (os.path.join(td, "names.txt"),
+                       os.path.join(td, "types.txt")))
+        in_mb = os.path.getsize(hlist) / 1e6
+        t0 = time.perf_counter()
+        # keep stdout to the single JSON line the driver parses
+        import contextlib
+        import io as _io
+
+        with contextlib.redirect_stdout(_io.StringIO()):
+            text_to_minh.main([cfgf, "all", hlist, td])
+        dt = time.perf_counter() - t0
+        out_mb = os.path.getsize(
+            os.path.join(td, "hlist_1.0.minh")) / 1e6
+        return {"text_to_minh_MBps": round(in_mb / dt, 2),
+                "text_to_minh_ratio": round(in_mb / out_mb, 2)}
+
+
 def bench_native_baseline(n=1 << 22):
     """Single-core native C++ quantize+delta+pack (reference class)."""
     from minnow_tpu import native
@@ -230,6 +277,10 @@ def main():
         detail.update(bench_extra_configs())
     except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
         detail["extra_configs_error"] = str(e)[:120]
+    try:
+        detail.update(bench_text_to_minh())
+    except Exception as e:  # noqa: BLE001
+        detail["text_to_minh_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "minh position-column encode+decode throughput/chip "
                   "(%s, bit-exact validated, slope-based)" % backend,
