@@ -70,6 +70,8 @@ def verify(fname: str, deep: bool = False) -> list:
                     r.data(b)
                 except Exception as e:  # noqa: BLE001
                     problems.append("block %d decode failed: %s" % (b, e))
+    except Exception as e:  # noqa: BLE001 - corrupt tails take odd shapes
+        problems.append("structural check failed: %s" % e)
     finally:
         r.close()
     return problems

@@ -151,3 +151,32 @@ def test_minh_fuzz_roundtrip(tmp_path, seed):
             want = np.concatenate([b[c] for b in blocks])
             assert np.all(np.abs(got - want) <= col.dx * (1 + 1e-4))
     r.close()
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_verify_never_crashes_on_corruption(tmp_path, seed):
+    """Random byte corruption of a valid file: verify() must report
+    problems (or cleanly pass when the flips miss critical bytes), never
+    raise -- the failure-detection contract."""
+    from minnow_tpu.cli import verify_minnow
+
+    rng = np.random.default_rng(seed)
+    fname = str(tmp_path / "victim.minnow")
+    w = minnow.create(fname)
+    w.header(b"corruption target")
+    w.int_group(50)
+    w.data(rng.integers(0, 2**30, 50, dtype=np.int64))
+    w.float_group(50, (0.0, 100.0), 0.5)
+    w.data(rng.uniform(0, 99, 50).astype(np.float32))
+    w.close()
+
+    raw = bytearray(open(fname, "rb").read())
+    n_flips = int(rng.integers(1, 12))
+    for _ in range(n_flips):
+        pos = int(rng.integers(0, len(raw)))
+        raw[pos] ^= int(rng.integers(1, 256))
+    bad = str(tmp_path / "corrupt.minnow")
+    open(bad, "wb").write(bytes(raw))
+
+    problems = verify_minnow.verify(bad, deep=True)  # must not raise
+    assert isinstance(problems, list)
