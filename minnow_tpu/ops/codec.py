@@ -32,14 +32,19 @@ from . import bitpack
 __all__ = [
     "quantize",
     "dequantize",
+    "dequantize24",
     "bits_needed",
     "periodic_distance",
     "bound",
     "prepare_int_blocks",
     "prepare_float_blocks",
+    "prepare_float_blocks_fast",
+    "prepare_float_blocks_fast32",
     "decode_int_blocks",
     "decode_float_blocks",
+    "decode_float_blocks32",
 ]
+
 
 def _use_reduce_precision() -> bool:
     # TPU's X64 rewriter (f64 emulated as float pairs) has no rule for
@@ -120,11 +125,11 @@ def dequantize(q, low, high, pixels, u=None):
 def dequantize24(q, low, high, pixels, u=None):
     """All-native-f32 dequantize for ``pixels <= 2^24`` (every realistic
     config): with q < 2^24, ``f32(q)`` is exact, so the only rounding
-    hazard left is FMA contraction of ``dx*v + low`` -- blocked by one
-    numerically-identity ReducePrecision(8, 23) on the product.  No f64
-    emulation anywhere.  Caller guarantees the pixel bound (host check);
-    bitwise equality with spec.dequantize is enforced by
-    ops/validate.py on every backend."""
+    hazard left is FMA contraction of ``dx*v + low`` -- blocked by the
+    runtime-opaque select below.  No f64 emulation on the per-element
+    path.  Caller guarantees the pixel bound (host check); bitwise
+    equality with spec.dequantize is enforced by ops/validate.py on
+    every backend."""
     low32 = jnp.asarray(low, jnp.float32)
     dx = _dx64(low32, jnp.asarray(high, jnp.float32),
                pixels).astype(jnp.float32)  # per block, tiny
@@ -276,7 +281,7 @@ def prepare_float_blocks(x, low, high, pixels, n, periodic,
     when block b contains out-of-range pixels so the one-pass periodic
     reduction does not apply and the caller must use the host scan.
     """
-    b, width = x.shape
+    _, width = x.shape
     mask = _mask(n, width)
     q = quantize(x, low[:, None], high[:, None], pixels[:, None])
     return _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q)
@@ -310,8 +315,6 @@ def decode_float_blocks32(words, mins, low, high, pixels, periodic,
     """All-native-width batched float decode for bits <= 32 and
     pixels <= 2^24 (caller-checked): uint32 unpack, int32 recentering,
     native-f32 dequantize.  Bit-identical to decode_float_blocks."""
-    from . import bitpack
-
     q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
         + mins[:, None].astype(jnp.int32)
     p32 = pixels[:, None].astype(jnp.int32)
