@@ -90,22 +90,21 @@ def quantize_fast(diff, b, eb, m0, m1, out32: bool = False):
 
     b32 = b.astype(jnp.uint32)
     t = (a < b32).astype(jnp.int64)
-    s = (23 + t).astype(jnp.uint32)
+    s = (23 + t).astype(jnp.uint64)
 
+    # Q = floor(a * 2^s / b) via the magic product, exploiting that the
+    # mantissa a has only 24 bits: a*m = a*m0 + a*m1*2^32 with both
+    # partial products < 2^57, so
+    #   floor(a*2^s*m / 2^72) = ((a*m0 >> 32) + a*m1) >> (40 - s)
+    # (the dropped low 32+(40-s) bits cannot carry).  Three 64-bit
+    # multiplies total (incl. the remainder) vs five for the generic
+    # 48-bit-dividend form.
     a64 = a.astype(jnp.uint64)
-    n0 = (a << s).astype(jnp.uint64)  # low 32 bits (u32 shift wraps)
-    n0 = n0 & _M32
-    n1 = (a >> (np.uint32(32) - s)).astype(jnp.uint64)
+    lo = a64 * m0
+    hi = a64 * m1
+    q24 = ((lo >> np.uint64(32)) + hi) >> (np.uint64(40) - s)
 
-    # 128-bit product (N * m) >> 72, N < 2^48, m < 2^49 + 1
-    p00 = n0 * m0
-    cross = n0 * m1 + n1 * m0
-    high = n1 * m1
-    mid = (p00 >> np.uint64(32)) + cross
-    u2 = (mid >> np.uint64(32)) + high
-    q24 = u2 >> np.uint64(8)  # floor(a*2^s / b), 24-25 bits
-
-    n_full = n0 + (n1 << np.uint64(32))
+    n_full = a64 << s
     rem = n_full - q24 * b
     r2 = rem << np.uint64(1)
     up = (r2 > b) | ((r2 == b) & ((q24 & np.uint64(1)) == 1))
