@@ -6,6 +6,15 @@ from fixed inputs.  Round-trip tests prove self-consistency; these prove
 byte-compatibility contract of the reference's Go/Python twin suites,
 ref go/minnow_test.go + python/minnow_test.py sharing test_files/).
 
+External anchor: the byte layout these digests pin is certified against
+the *untouched* reference Python implementation by
+``tests/test_crossimpl.py`` -- repo-written containers and minh files are
+byte-identical to reference-writer output for fixed/int groups, and
+repo-written float groups decode to exact pixel indices through the
+reference's own bit kernel.  A digest change here therefore cannot be
+waved through by regenerating: it must keep test_crossimpl.py green,
+which compares against code this repo does not control.
+
 If a digest changes intentionally (it should essentially never -- the
 format is frozen), regenerate with:  python tests/test_goldens.py
 """
