@@ -201,19 +201,32 @@ def bench_text_to_minh(rows=250_000):
                     "NameIndex = %s\nTypeIndex = %s\n"
                     % (os.path.join(td, "names.txt"),
                        os.path.join(td, "types.txt")))
-        in_mb = os.path.getsize(hlist) / 1e6
-        t0 = time.perf_counter()
-        # keep stdout to the single JSON line the driver parses
-        import contextlib
-        import io as _io
+        from minnow_tpu.utils.name_index import open_index
+        from minnow_tpu.utils.profiling import StageTimer
 
-        with contextlib.redirect_stdout(_io.StringIO()):
-            text_to_minh.main([cfgf, "all", hlist, td])
+        cfg = text_to_minh.parse_config(cfgf)
+        idx = open_index(cfg["NameIndex"])
+        types = text_to_minh.parse_types(cfg["TypeIndex"], idx)
+        wanted = text_to_minh.parse_vars("all", idx)
+        out_path = os.path.join(td, "hlist_1.0.minh")
+
+        in_mb = os.path.getsize(hlist) / 1e6
+        timer = StageTimer()
+        t0 = time.perf_counter()
+        text_to_minh.convert_file(cfg, idx, types, wanted, hlist,
+                                  out_path, timer=timer)
         dt = time.perf_counter() - t0
-        out_mb = os.path.getsize(
-            os.path.join(td, "hlist_1.0.minh")) / 1e6
+        out_mb = os.path.getsize(out_path) / 1e6
+        stages = {
+            "text_to_minh_stage_" + k: (v.get("GBps", 0) or 0) * 1e3
+            if "GBps" in v else round(v["seconds"] * 1e3, 1)
+            for k, v in timer.report().items()}
+        # stages with bytes report MB/s; others report milliseconds
         return {"text_to_minh_MBps": round(in_mb / dt, 2),
-                "text_to_minh_ratio": round(in_mb / out_mb, 2)}
+                "text_to_minh_ratio": round(in_mb / out_mb, 2),
+                "text_to_minh_stages_MBps_or_ms": {
+                    k.replace("text_to_minh_stage_", ""): round(v, 1)
+                    for k, v in stages.items()}}
 
 
 def bench_native_baseline(n=1 << 22):

@@ -21,15 +21,15 @@ programs on TPU, with independent blocks sharded data-parallel across a
 device mesh.  The byte format produced is identical to the reference writer
 (see docs/FORMAT.md and core/spec.py for the normative semantics).
 
-NOTE: importing this package enables ``jax_enable_x64``: the codec operates
-on int64 column data (halo IDs exceed 2**32) and the container format is
-defined in terms of 64-bit integers.  float32 quantization math is pinned
-with explicit dtypes everywhere, so x64 does not change any on-disk bytes.
+NOTE: importing ``minnow_tpu.ops`` or ``minnow_tpu.parallel`` enables
+``jax_enable_x64``: the codec operates on int64 column data (halo IDs
+exceed 2**32) and the container format is defined in terms of 64-bit
+integers.  float32 quantization math is pinned with explicit dtypes
+everywhere, so x64 does not change any on-disk bytes.  The top-level
+package and all host-side paths (core readers/writers, formats, ingest,
+CLI host mode) deliberately never import jax -- opening a file must not
+initialize an accelerator runtime (or pay the multi-second import).
 """
-
-import jax as _jax
-
-_jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 

@@ -133,8 +133,12 @@ def out_name(out_dir: str, hlist: str) -> str:
 
 
 def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
-                 threads=THREADS):
-    """(ref text_to_minh.go:166-214)"""
+                 threads=THREADS, timer=None):
+    """(ref text_to_minh.go:166-214).  ``timer`` (optional
+    utils.profiling.StageTimer) collects per-stage seconds/GBps:
+    read / scan_lines / parse (inside the text reader, possibly on the
+    prefetch thread), parse_wait (pipeline bubble on the main thread),
+    encode+write, finalize."""
     fr = rockstar.open_rockstar(hlist)
     all_names = fr.names()
     header = fr.header()
@@ -161,6 +165,8 @@ def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
 
     fr.set_threads(threads)
     fr.set_names(std_all)
+    if timer is not None:
+        fr.set_timer(timer)
 
     fm = minh.create(out)
     if device:
@@ -176,19 +182,34 @@ def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
     # ref text_to_minh.go:208-212)
     from concurrent.futures import ThreadPoolExecutor
 
+    import time as _time
+
     n_blocks = fr.blocks()
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(fr.block, 0, names, dtypes)
         for b in range(n_blocks):
+            t0 = _time.perf_counter()
             data = fut.result()
+            t1 = _time.perf_counter()
             if b + 1 < n_blocks:
                 fut = pool.submit(fr.block, b + 1, names, dtypes)
             mass = data[cfg["MassName"]]
             keep = mass > cutoff  # (ref text_to_minh.go:271-288)
             if keep.any():
-                fm.block([data[n][keep] for n in names])
+                block_cols = [data[n][keep] for n in names]
+                t2 = _time.perf_counter()
+                fm.block(block_cols)
+                if timer is not None:
+                    t3 = _time.perf_counter()
+                    nbytes = sum(c.nbytes for c in block_cols)
+                    timer.add("parse_wait", t1 - t0)
+                    timer.add("mass_cut", t2 - t1)
+                    timer.add("encode+write", t3 - t2, nbytes)
+    t0 = _time.perf_counter()
     fm.close()
     fr.close()
+    if timer is not None:
+        timer.add("finalize", _time.perf_counter() - t0)
 
 
 class _DeviceMinhWriter:

@@ -194,9 +194,9 @@ class FloatGroup:
         if x.size != self.ig.n:
             raise ValueError("block has %d elements, group expects %d"
                              % (x.size, self.ig.n))
-        payload, mn, bits, _ = spec.encode_float_block(
-            x, self.low, self.high, self.pixels, self.periodic == 1,
-            clamp_q=self.clamp_q, pack=_native().pack_bits)
+        payload, mn, bits, _ = _native().encode_float_block(
+            x, self.low, self.high, self.pixels, periodic=self.periodic == 1,
+            clamp_q=self.clamp_q)
         self.ig.write_encoded(f, payload, mn, bits)
 
     def write_encoded(self, f, payload: bytes, mn: int, bits: int) -> None:

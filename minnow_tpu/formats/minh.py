@@ -18,7 +18,7 @@ for boundary files (ref go/minh/minh.go:279-306).
 Float columns with ``log != 0`` are log10'd on write and 10**x'd on read;
 all Float columns are clamped to ``[low, nextafter(high, -inf)]`` before
 quantization (ref go/minh/minh.go:141-149).  log10 uses the Go/fdlibm
-algorithm (ops/gomath.py) so files are byte-identical to the reference.
+algorithm (core/gomath.py) so files are byte-identical to the reference.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ import numpy as np
 from ..core import types as ctypes_
 from ..core.writer import Writer as MinnowWriter
 from ..core.reader import Reader as MinnowReader
-from ..ops import gomath
+from ..core import gomath
 
 MAGIC = 0xBAFF1ED
 VERSION = 0
@@ -111,7 +111,14 @@ def process_float_column(x, col: Column, xp=np) -> np.ndarray:
     (ref go/minh/minh.go:141-149).  Returns float32."""
     buf = xp.asarray(x, xp.float32)
     if col.log != 0:
-        buf = gomath.log10(buf.astype(xp.float64), xp).astype(xp.float32)
+        if xp is np:
+            from .. import native
+
+            nat = native.log10_f32(buf)
+            buf = nat if nat is not None else gomath.log10(
+                buf.astype(np.float64), np).astype(np.float32)
+        else:
+            buf = gomath.log10(buf.astype(xp.float64), xp).astype(xp.float32)
     low = np.float32(col.low)
     high_clamp = np.float32(np.nextafter(np.float32(col.high),
                                          np.float32(-np.inf)))

@@ -28,6 +28,9 @@ class Rockstar:
     def set_threads(self, n: int) -> None:
         self.rd.set_threads(n)
 
+    def set_timer(self, timer) -> None:
+        self.rd.set_timer(timer)
+
     def set_names(self, names) -> None:
         self.rd.set_names(names)
 

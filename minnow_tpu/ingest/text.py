@@ -44,6 +44,7 @@ class Reader:
         self.f = f
         self.closer = closer
         self.threads = 1
+        self.timer = None
         self.names: list[str] | None = None
         self._find_blocks(_reader_size(f))
 
@@ -113,6 +114,11 @@ class Reader:
     def set_threads(self, n: int) -> None:
         self.threads = n
 
+    def set_timer(self, timer) -> None:
+        """Attach a utils.profiling.StageTimer; block() then records
+        read/scan/parse stage times (BASELINE.md per-stage GB/s)."""
+        self.timer = timer
+
     def blocks(self) -> int:
         return self.n_blocks
 
@@ -132,10 +138,16 @@ class Reader:
         ``{name: array}``."""
         if dtypes is None:
             dtypes = [np.float32] * len(names)
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.f.seek(self.block_starts[b])
         buf = self.f.read(self.block_sizes[b])
+        t1 = _time.perf_counter()
 
-        starts, ends = _data_line_spans(buf, self.config.comment)
+        starts, ends = _data_line_spans(buf, self.config.comment,
+                                        threads=self.threads)
+        t2 = _time.perf_counter()
 
         col_idx = [self._name_index(n) for n in names]
         cols = native.parse_columns(buf, starts, ends, col_idx,
@@ -144,6 +156,11 @@ class Reader:
         out = {}
         for name, dtype, col in zip(names, dtypes, cols):
             out[name] = col.astype(dtype)
+        if self.timer is not None:
+            t3 = _time.perf_counter()
+            self.timer.add("read", t1 - t0, len(buf))
+            self.timer.add("scan_lines", t2 - t1, len(buf))
+            self.timer.add("parse", t3 - t2, len(buf))
         return out
 
     def close(self) -> None:
@@ -158,9 +175,15 @@ def _reader_size(f) -> int:
     return size
 
 
-def _data_line_spans(buf: bytes, comment: bytes):
+def _data_line_spans(buf: bytes, comment: bytes, threads: int = 0):
     """[start, end) byte spans of non-empty data lines, with trailing
-    inline comments stripped (ref go/text/parse.go:16-78)."""
+    inline comments stripped (ref go/text/parse.go:16-78).
+
+    Hot path is the native single-pass scanner (native/fastbits.cpp
+    mnw_scan_lines); the numpy formulation below is the fallback."""
+    spans = native.scan_lines(buf, comment, threads=threads)
+    if spans is not None:
+        return spans
     arr = np.frombuffer(buf, dtype=np.uint8)
     nl = np.nonzero(arr == ord(b"\n"))[0]
     starts = np.concatenate([[0], nl + 1]).astype(np.int64)
@@ -178,12 +201,16 @@ def _data_line_spans(buf: bytes, comment: bytes):
 
     keep = ends > starts
     starts, ends = starts[keep], ends[keep]
-    # drop whitespace-only lines (vectorized prefix-sum of data chars)
+    # drop whitespace-only lines: per-span data-char counts via reduceat
+    # (a whole-buffer cumsum ran at ~100 MB/s on this host)
     if starts.size:
         is_data = ~((arr == ord(" ")) | (arr == ord("\t"))
                     | (arr == ord("\r")) | (arr == ord("\n")))
-        prefix = np.concatenate([[0], np.cumsum(is_data, dtype=np.int64)])
-        nonempty = (prefix[ends] - prefix[starts]) > 0
+        # sentinel so a span ending at len(buf) stays a valid reduceat index
+        counts = np.concatenate([is_data.astype(np.int64), [0]])
+        bounds = np.stack([starts, ends], axis=1).ravel()
+        sums = np.add.reduceat(counts, bounds)[::2]
+        nonempty = sums > 0
         starts, ends = starts[nonempty], ends[nonempty]
     return starts, ends
 

@@ -56,6 +56,11 @@ def _load():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, i64,
         ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_int, ctypes.c_char]
     lib.mnw_parse_columns.restype = i64
+    lib.mnw_scan_lines.argtypes = [
+        ctypes.c_char_p, i64, ctypes.c_char, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.mnw_scan_lines.restype = i64
+    lib.mnw_log10_f32.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -105,6 +110,73 @@ def periodic_min(x, pixels: int) -> int:
     if lib is None:
         return spec.periodic_min(x, pixels)
     return int(lib.mnw_periodic_min(x.ctypes.data, x.shape[0], pixels))
+
+
+def log10_f32(x):
+    """``float32(Go math.Log10(float64(x)))`` -- native fdlibm
+    transcription, bit-identical to core/gomath.log10 (the minh
+    log-column preprocess, ref go/minh/minh.go:141-149).  Returns None
+    without the native lib (caller falls back to gomath)."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+    out = np.empty(x.shape, np.float32)
+    lib.mnw_log10_f32(x.ctypes.data, x.size, out.ctypes.data)
+    return out
+
+
+def encode_float_block(x, low, high, pixels: int, periodic: bool = True,
+                       clamp_q: bool = False, threads: int = 1):
+    """All-native host float-block encode: quantize -> (periodic
+    recenter) -> delta stats -> pack, byte-identical to
+    spec.encode_float_block (the composition of mnw_quantize,
+    mnw_periodic_min, mnw_bound, mnw_delta_stats, mnw_pack -- each op
+    exact IEEE f32 / int64, ref go/group.go:312-327).
+
+    Returns ``(payload, mn, bits, q)`` like the spec function."""
+    lib = _load()
+    x = np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+    if lib is None:
+        return spec.encode_float_block(x, low, high, pixels,
+                                       periodic=periodic, clamp_q=clamp_q)
+    import ctypes as _ct
+
+    n = x.shape[0]
+    q = np.empty(n, np.int64)
+    dxq = spec.quantize_dx(low, high, pixels)
+    lib.mnw_quantize(x.ctypes.data, n, np.float32(low), dxq, q.ctypes.data)
+    if clamp_q:
+        np.minimum(q, pixels - 1, out=q)
+    if periodic and n:
+        m = int(lib.mnw_periodic_min(q.ctypes.data, n, pixels))
+        lib.mnw_bound(q.ctypes.data, n, m, pixels)
+    deltas = np.empty(n, np.uint64)
+    mn = _ct.c_int64()
+    maxd = _ct.c_uint64()
+    lib.mnw_delta_stats(q.ctypes.data, n, deltas.ctypes.data,
+                        _ct.byref(mn), _ct.byref(maxd))
+    bits = spec.precision_needed(int(maxd.value)) if n else 0
+    payload = pack_bits(deltas, bits, threads=threads)
+    return payload, int(mn.value), bits, q
+
+
+def scan_lines(buf: bytes, comment: bytes = b"#", threads: int = 0):
+    """Data-line [start, end) spans of a text-catalog buffer: lines split
+    at newlines, truncated at inline comments, empty/whitespace-only lines
+    dropped (ref go/text/parse.go:16-78).  Returns ``(starts, ends)``
+    int64 arrays, or ``None`` when the native engine is unavailable (the
+    caller falls back to the numpy span builder)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(buf)
+    cap = buf.count(b"\n") + 1
+    starts = np.empty(cap, dtype=np.int64)
+    ends = np.empty(cap, dtype=np.int64)
+    cnt = lib.mnw_scan_lines(buf, n, comment[:1], starts.ctypes.data,
+                             ends.ctypes.data, threads or os.cpu_count())
+    return starts[:cnt], ends[:cnt]
 
 
 def parse_columns(buf: bytes, line_starts, line_ends, col_idx,

@@ -228,6 +228,164 @@ static int64_t parse_lines_range(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Go math.Log10 (FDLIBM e_log.c scheme), f32 in / f32 out, for minh
+// log-column preprocessing: float32(math.Log10(float64(x)))
+// (ref go/minh/minh.go:141-149).  Same algorithm as the vectorized
+// replication in minnow_tpu/core/gomath.py; every op is IEEE f64, so the
+// results are bit-identical.  Special cases follow Go.
+// ---------------------------------------------------------------------------
+
+static const double kLn2Hi = 6.93147180369123816490e-01;
+static const double kLn2Lo = 1.90821492927058770002e-10;
+static const double kL1 = 6.666666666666735130e-01;
+static const double kL2 = 3.999999999940941908e-01;
+static const double kL3 = 2.857142874366239149e-01;
+static const double kL4 = 2.222219843214978396e-01;
+static const double kL5 = 1.818357216161805012e-01;
+static const double kL6 = 1.531383769920937332e-01;
+static const double kL7 = 1.479819860511658591e-01;
+static const double kSqrt2 = 1.4142135623730951;
+static const double kLn2 = 0.6931471805599453;
+static const double kLn10 = 2.302585092994046;
+static const double kLog2E = 1.4426950408889634;
+
+static inline double fdlibm_log(double x) {
+    int ki;
+    double f1 = std::frexp(x, &ki);
+    if (f1 < kSqrt2 / 2) {
+        f1 *= 2;
+        ki--;
+    }
+    double k = (double)ki;
+    double f = f1 - 1.0;
+    double s = f / (2.0 + f);
+    double s2 = s * s;
+    double s4 = s2 * s2;
+    double t1 = s2 * (kL1 + s4 * (kL3 + s4 * (kL5 + s4 * kL7)));
+    double t2 = s4 * (kL2 + s4 * (kL4 + s4 * kL6));
+    double r = t1 + t2;
+    double hfsq = 0.5 * f * f;
+    return k * kLn2Hi - ((hfsq - (s * (hfsq + r) + k * kLn2Lo)) - f);
+}
+
+static inline double go_log2(double x) {
+    if (std::isnan(x) || x == HUGE_VAL) return x;
+    if (x < 0) return NAN;
+    if (x == 0) return -HUGE_VAL;
+    int exp;
+    double frac = std::frexp(x, &exp);
+    if (frac == 0.5) return (double)exp - 1.0;  // exact powers of two
+    return fdlibm_log(frac) * kLog2E + (double)exp;
+}
+
+void mnw_log10_f32(const float* x, int64_t n, float* out) {
+    const double c = kLn2 / kLn10;
+    for (int64_t i = 0; i < n; i++) {
+        out[i] = (float)(go_log2((double)x[i]) * c);
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Data-line span scanner (ref go/text/parse.go:16-78).
+//
+// Splits buf at '\n', truncates each line at its first `comment` byte,
+// drops empty and whitespace-only lines, and emits the [start, end) byte
+// span of every surviving data line.  This is the single-pass native
+// replacement for the numpy span builder (its whole-buffer cumsum ran at
+// ~100 MB/s on this host and dominated end-to-end conversion).
+// starts/ends must have capacity for (#newlines in buf) + 1 entries.
+// Returns the number of spans written.
+// ---------------------------------------------------------------------------
+
+static int64_t scan_lines_range(const char* buf, int64_t r0, int64_t r1,
+                                char comment, int64_t* starts,
+                                int64_t* ends) {
+    int64_t cnt = 0;
+    const char* p = buf + r0;
+    const char* lim = buf + r1;
+    while (p < lim) {
+        const char* ls = p;
+        const char* nl = (const char*)std::memchr(p, '\n', lim - p);
+        const char* le = nl ? nl : lim;
+        const char* cm = (const char*)std::memchr(ls, comment, le - ls);
+        const char* de = cm ? cm : le;
+        const char* q = ls;
+        while (q < de && (*q == ' ' || *q == '\t' || *q == '\r')) q++;
+        if (q < de) {
+            starts[cnt] = ls - buf;
+            ends[cnt] = de - buf;
+            cnt++;
+        }
+        p = nl ? nl + 1 : lim;
+    }
+    return cnt;
+}
+
+int64_t mnw_scan_lines(const char* buf, int64_t n, char comment,
+                       int64_t* starts, int64_t* ends, int threads) {
+    if (n <= 0) return 0;
+    if (threads <= 1 || n < (1 << 20)) {
+        return scan_lines_range(buf, 0, n, comment, starts, ends);
+    }
+    // chunk boundaries snapped forward to just past a newline
+    std::vector<int64_t> bnd;
+    bnd.push_back(0);
+    for (int t = 1; t < threads; t++) {
+        int64_t pos = n * (int64_t)t / threads;
+        if (pos <= bnd.back()) continue;
+        const char* nl = (const char*)std::memchr(buf + pos, '\n', n - pos);
+        if (!nl) break;
+        int64_t b = (nl - buf) + 1;
+        if (b > bnd.back() && b < n) bnd.push_back(b);
+    }
+    bnd.push_back(n);
+    int nch = (int)bnd.size() - 1;
+
+    // each chunk scans into its own slice of the output arrays at the
+    // chunk's worst-case offset (#newlines before it + 1), then results
+    // are compacted left in order
+    std::vector<int64_t> cnts(nch, 0), offs(nch, 0);
+    {
+        int64_t off = 0;
+        std::vector<std::thread> ts;
+        for (int c = 0; c < nch; c++) {
+            offs[c] = off;
+            // worst case: one span per line.  Interior chunks end just
+            // past a newline, so their line count equals their newline
+            // count; only the last chunk can have a trailing unterminated
+            // line.  Summed over chunks this stays within the caller's
+            // (#newlines + 1) capacity.
+            int64_t lines = (c == nch - 1) ? 1 : 0;
+            const char* p = buf + bnd[c];
+            const char* lim = buf + bnd[c + 1];
+            while ((p = (const char*)std::memchr(
+                        p, '\n', lim - p)) != nullptr) {
+                lines++;
+                p++;
+            }
+            off += lines;
+            ts.emplace_back([=, &cnts]() {
+                cnts[c] = scan_lines_range(buf, bnd[c], bnd[c + 1], comment,
+                                           starts + offs[c],
+                                           ends + offs[c]);
+            });
+        }
+        for (auto& t : ts) t.join();
+    }
+    int64_t total = cnts[0];
+    for (int c = 1; c < nch; c++) {
+        if (offs[c] != total) {
+            std::memmove(starts + total, starts + offs[c],
+                         sizeof(int64_t) * cnts[c]);
+            std::memmove(ends + total, ends + offs[c],
+                         sizeof(int64_t) * cnts[c]);
+        }
+        total += cnts[c];
+    }
+    return total;
+}
+
 int64_t mnw_parse_columns(const char* buf, const int64_t* line_starts,
                           const int64_t* line_ends, int64_t n_lines,
                           const int64_t* col_idx, int64_t n_cols,

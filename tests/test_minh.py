@@ -130,7 +130,7 @@ def test_gomath_log10_sane():
     exact for powers of ten within f32 interest range."""
     import math
 
-    from minnow_tpu.ops import gomath
+    from minnow_tpu.core import gomath
 
     rng = np.random.default_rng(2)
     x = 10.0 ** rng.uniform(-30, 30, 20000)
@@ -153,9 +153,10 @@ def test_gomath_log10_sane():
 
 
 def test_gomath_matches_on_jax_cpu():
+    import minnow_tpu.ops  # noqa: F401 - enables jax_enable_x64
     import jax.numpy as jnp
 
-    from minnow_tpu.ops import gomath
+    from minnow_tpu.core import gomath
 
     rng = np.random.default_rng(3)
     x = 10.0 ** rng.uniform(-10, 10, 5000)

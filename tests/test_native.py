@@ -78,3 +78,31 @@ def test_groups_use_native_and_stay_byte_identical(tmp_path):
     r = minnow.open(f1)
     np.testing.assert_array_equal(r.data(0), x)
     r.close()
+
+
+def test_native_encode_float_block_matches_spec():
+    """The all-native float encode (quantize -> periodic recenter ->
+    delta stats -> pack) is byte-identical to spec.encode_float_block,
+    including wrap clusters, out-of-range pixels and the clamp_q guard."""
+    rng = np.random.default_rng(11)
+    cases = []
+    n = 3000
+    cases.append((rng.uniform(0, 100, n).astype(np.float32),
+                  0.0, 100.0, 0.05, True, False))
+    wrap = np.concatenate([rng.uniform(0, 2, n // 2),
+                           rng.uniform(98, 100, n - n // 2)])
+    cases.append((wrap.astype(np.float32), 0.0, 100.0, 0.01, True, False))
+    # out-of-range values (quantize below 0 / above pixels)
+    oor = rng.uniform(-5, 110, n).astype(np.float32)
+    cases.append((oor, 0.0, 100.0, 0.1, True, False))
+    cases.append((rng.uniform(-50, 75, n).astype(np.float32),
+                  -50.0, 75.0, 0.1, False, True))
+    for x, low, high, dx, periodic, clamp in cases:
+        pixels = spec.float_group_pixels(low, high, dx)
+        want = spec.encode_float_block(x, low, high, pixels,
+                                       periodic=periodic, clamp_q=clamp)
+        got = native.encode_float_block(x, low, high, pixels,
+                                        periodic=periodic, clamp_q=clamp)
+        assert got[0] == want[0]
+        assert got[1] == want[1] and got[2] == want[2]
+        np.testing.assert_array_equal(got[3], want[3])

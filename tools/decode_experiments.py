@@ -1,0 +1,326 @@
+"""On-chip decode-formulation experiments (VERDICT round-2 item 2).
+
+Round-1 decode (34 GB/s slope) is 4x behind encode (141).  Suspects: the
+unpack's ``(t, bits)`` reshape+transpose and the (bits, T) row gather
+(ops/bitpack.py _unpack_tiles) -- intermediates whose minor dim is
+``bits`` (18) occupy 18/128 lanes.  This script measures, on the real
+chip:
+
+* attribution: pure-streaming ceiling, transpose-only, gather-only
+* full-decode variants (current, fused-batch transpose, lane-gather,
+  broadcast-concat)
+
+Each experiment is selected by argv[1] so a Mosaic compile stall in one
+variant (round-1 saw a >30 min remote-compile hang on a static lane
+gather) cannot wedge the rest: drive with tools/run_decode_experiments.sh
+which applies a per-run timeout.
+
+Usage: python tools/decode_experiments.py <name>
+Names: list | ceiling | transpose | gather | v0_current | v1_concat |
+       v2_lanegather | v3_flatT | all-safe
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+BITS = 18
+B = 64
+N_SMALL = 1 << 17
+N_LARGE = 1 << 21
+
+
+def _time(fn, *args, iters=5, reps=6, sync=None):
+    sync = sync or (lambda o: o)
+    np.asarray(sync(fn(*args)))
+    np.asarray(sync(fn(*args)))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        for o in outs:
+            np.asarray(sync(o))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def _slope(fn, make_args, sync):
+    a1, by1 = make_args(N_SMALL)
+    t1 = _time(fn, *a1, sync=sync)
+    a2, by2 = make_args(N_LARGE)
+    t2 = _time(fn, *a2, sync=sync)
+    dt = t2 - t1
+    if dt > 1e-6 and (by2 - by1) / 1e9 / dt < 2000:
+        return (by2 - by1) / 1e9 / dt, by2 / 1e9 / t2
+    return by2 / 1e9 / t2, by2 / 1e9 / t2
+
+
+def _words(n, b=B, bits=BITS, seed=0):
+    """Random packed words for b blocks of n elements at width bits, plus
+    the uncompressed byte count (the throughput denominator)."""
+    import jax
+
+    from minnow_tpu.ops import bitpack
+
+    rng = np.random.default_rng(seed)
+    t = n // 32
+    w = rng.integers(0, 1 << 32, (b, t * bits), dtype=np.uint64)
+    w = w.astype(np.uint32)
+    return jax.device_put(w), b * n * 4
+
+
+# ---------------------------------------------------------------------------
+# attribution experiments
+# ---------------------------------------------------------------------------
+
+
+def exp_ceiling():
+    """Pure streaming: read words, write same-size u32 -> the copy
+    ceiling in output-byte terms (words are bits/32 of output bytes)."""
+    import jax
+
+    @jax.jit
+    def f(w):
+        return w + np.uint32(1)
+
+    def make(n):
+        w, by = _words(n)
+        return (w,), by
+
+    s, large = _slope(f, make, sync=lambda o: o[0, :1])
+    return {"slope_GBps": s, "large_GBps": large}
+
+
+def exp_transpose():
+    """Just the (B, t, bits) -> (B, bits, t) transpose, materialized."""
+    import jax
+
+    @jax.jit
+    def f(w):
+        b, wn = w.shape
+        t = wn // BITS
+        return w.reshape(b, t, BITS).transpose(0, 2, 1) + np.uint32(1)
+
+    def make(n):
+        w, by = _words(n)
+        return (w,), by
+
+    s, large = _slope(f, make, sync=lambda o: o[0, :1, :1])
+    return {"slope_GBps": s, "large_GBps": large}
+
+
+def exp_gather():
+    """Row gather (B, bits, t)[w32] -> (B, 32, t) from a pre-transposed
+    operand, materialized (no shifts)."""
+    import jax
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    w_idx = np.minimum(offs // 32, BITS - 1)
+
+    @jax.jit
+    def f(wt):
+        return wt[:, w_idx, :] + np.uint32(1)
+
+    def make(n):
+        w, by = _words(n)
+        t = n // 32
+        wt = np.asarray(w).reshape(B, t, BITS).transpose(0, 2, 1).copy()
+        import jax as _j
+
+        return (_j.device_put(wt),), by
+
+    s, large = _slope(f, make, sync=lambda o: o[0, :1, :1])
+    return {"slope_GBps": s, "large_GBps": large}
+
+
+# ---------------------------------------------------------------------------
+# full decode variants (words -> q u32, byte-identical contract)
+# ---------------------------------------------------------------------------
+
+
+def _variant_current():
+    import jax
+
+    from minnow_tpu.ops import bitpack
+
+    return jax.jit(lambda w, n: bitpack.unpack_batch32(w, BITS, n),
+                   static_argnames=("n",))
+
+
+def _variant_flat_transpose():
+    """One fused batch transpose: (B*t, bits) -> (bits, B*t), gather,
+    shift, transpose back.  Avoids B separate small transposes under
+    vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = np.minimum(offs // 32, BITS - 1)
+    w2 = np.minimum(offs // 32 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        wt = w.reshape(b * t, BITS).T  # (bits, B*t)
+        a = wt[w1]  # (32, B*t)
+        c = wt[w2]
+        out = a >> s[:, None]
+        out = out | jnp.where((s > 0)[:, None], c << s2[:, None],
+                              jnp.uint32(0))
+        out = (out & mask).T.reshape(b, t * 32)
+        return out[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def _variant_lane_gather():
+    """No transposes at all: gather word columns along the lane axis of
+    the natural (B, t, bits) layout -> (B, t, 32)."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = np.minimum(offs // 32, BITS - 1)
+    w2 = np.minimum(offs // 32 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        wt = w.reshape(b, t, BITS)
+        a = jnp.take(wt, w1, axis=2)  # (B, t, 32)
+        c = jnp.take(wt, w2, axis=2)
+        out = a >> s[None, None, :]
+        out = out | jnp.where((s > 0)[None, None, :], c << s2[None, None, :],
+                              jnp.uint32(0))
+        return (out & mask).reshape(b, t * 32)[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def _variant_concat():
+    """Gather replaced by concat-of-broadcast word rows (the structural
+    inverse of pack's slice+segment-sum)."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = offs // 32
+    w2 = np.minimum(w1 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    def expand(wt, idx):
+        # wt: (B, bits, t); idx: (32,) monotone word ids -> (B, 32, t)
+        pieces = []
+        j = 0
+        while j < 32:
+            k = j
+            while k < 32 and idx[k] == idx[j]:
+                k += 1
+            row = wt[:, int(idx[j]):int(idx[j]) + 1, :]
+            pieces.append(jnp.broadcast_to(
+                row, (row.shape[0], k - j, row.shape[2])))
+            j = k
+        return jnp.concatenate(pieces, axis=1)
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        wt = w.reshape(b, t, BITS).transpose(0, 2, 1)
+        a = expand(wt, w1)
+        c = expand(wt, w2)
+        out = a >> s[None, :, None]
+        out = out | jnp.where((s > 0)[None, :, None],
+                              c << s2[None, :, None], jnp.uint32(0))
+        out = (out & mask).transpose(0, 2, 1).reshape(b, t * 32)
+        return out[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+VARIANTS = {
+    "v0_current": _variant_current,
+    "v1_concat": _variant_concat,
+    "v2_lanegather": _variant_lane_gather,
+    "v3_flatT": _variant_flat_transpose,
+}
+
+
+def run_variant(name):
+    import jax
+
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack
+
+    fn = VARIANTS[name]()
+
+    # correctness first: byte-identical to the normative host spec,
+    # checked through jit on this backend
+    rng = np.random.default_rng(3)
+    n_val = 4096
+    vals = rng.integers(0, 1 << BITS, (4, n_val), dtype=np.uint64)
+    words = np.stack([
+        np.frombuffer(
+            spec.pack_bits(v, BITS)
+            + b"\0" * (bitpack.words_per_block(BITS, n_val) * 4
+                       - spec.array_bytes(BITS, n_val)),
+            dtype="<u4")
+        for v in vals])
+    got = np.asarray(fn(jax.device_put(words), n_val))
+    if not (got.astype(np.uint64) == vals).all():
+        return {"error": "MISMATCH: %s not byte-exact" % name}
+
+    def make(n):
+        w, by = _words(n)
+        return (w, n), by
+
+    s, large = _slope(fn, make, sync=lambda o: o[0, :1])
+    return {"slope_GBps": s, "large_GBps": large, "exact": True}
+
+
+def main():
+    name = sys.argv[1]
+    if name == "list":
+        print(json.dumps(["ceiling", "transpose", "gather"]
+                         + list(VARIANTS)))
+        return
+    _setup()
+    import jax
+
+    dev = str(jax.devices()[0])
+    if name == "ceiling":
+        out = exp_ceiling()
+    elif name == "transpose":
+        out = exp_transpose()
+    elif name == "gather":
+        out = exp_gather()
+    else:
+        out = run_variant(name)
+    out = {k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in out.items()}
+    out.update({"exp": name, "device": dev})
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
