@@ -25,15 +25,34 @@ __all__ = ["init_distributed", "gather_blocks", "is_coordinator"]
 
 
 def init_distributed(**kw) -> None:
-    """Initialize multi-host JAX (no-op when single-process)."""
+    """Initialize multi-host JAX.
+
+    A genuine coordinator failure must NOT degrade silently into a wrong
+    single-process run: when the caller *intends* multi-process (explicit
+    kwargs or cluster env vars present), init errors propagate.  Only the
+    plain single-process convenience call (no kwargs, no cluster env) and
+    double-initialization are no-ops.
+    """
+    import os
+
     import jax
 
     if jax.process_count() > 1:
         return  # already initialized
+    intended = bool(kw) or any(os.environ.get(v) for v in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES"))
     try:
         jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        pass  # single-process / already initialized
+    except Exception as e:  # noqa: BLE001 - classified below
+        if "already initialized" in str(e).lower():
+            return
+        if intended:
+            raise RuntimeError(
+                "multi-host initialization failed (coordinator "
+                "unreachable or misconfigured); refusing to continue "
+                "as a single process") from e
+        # no multi-process intent anywhere: single-process run
 
 
 def is_coordinator() -> bool:
@@ -47,9 +66,12 @@ def gather_blocks(enc: EncodedBlocks) -> EncodedBlocks:
     (process-major).  Returns the full EncodedBlocks on every process;
     typically only process 0 then writes.
 
-    Payload bytes are exchanged as a zero-padded uint8 matrix (ragged
-    rows padded to the global max block size) plus exact sizes -- the
-    variable-length analog of the reference's fixed per-block writes.
+    Handles *unequal* per-process block counts.  Payloads travel as ONE
+    concatenated byte stream per process padded to the max per-process
+    total (not per-block max): with one incompressible block among many
+    well-compressed ones, overhead is bounded by the per-process total
+    imbalance rather than inflating every row to the worst block
+    (ref writer order contract: go/block_index.go:16-23).
     """
     import jax
 
@@ -60,23 +82,47 @@ def gather_blocks(enc: EncodedBlocks) -> EncodedBlocks:
 
     sizes = enc.sizes
     b_local = len(enc.payloads)
-    max_size = int(mhu.process_allgather(
-        np.asarray([sizes.max() if b_local else 0])).max())
+    local_total = int(sizes.sum())
 
-    buf = np.zeros((b_local, max_size), dtype=np.uint8)
-    for i, p in enumerate(enc.payloads):
-        buf[i, :len(p)] = np.frombuffer(p, dtype=np.uint8)
+    # (P, 2): per-process block count and payload total
+    counts = np.asarray(mhu.process_allgather(
+        np.asarray([b_local, local_total], np.int64)))
+    counts = counts.reshape(-1, 2)
+    max_b = int(counts[:, 0].max())
+    max_total = int(counts[:, 1].max())
 
-    meta = np.stack([sizes, enc.mins.view(np.int64), enc.bits,
-                     enc.lens]).astype(np.int64)
+    # metadata padded to max_b rows
+    meta = np.zeros((4, max_b), np.int64)
+    meta[0, :b_local] = sizes
+    meta[1, :b_local] = enc.mins.view(np.int64)
+    meta[2, :b_local] = enc.bits
+    meta[3, :b_local] = enc.lens
+    all_meta = np.asarray(mhu.process_allgather(meta))
+    all_meta = all_meta.reshape(-1, 4, max_b)
 
-    all_buf = mhu.process_allgather(buf)      # (P, B_local, max) or ragged
-    all_meta = mhu.process_allgather(meta)    # (P, 4, B_local)
+    # one ragged byte stream per process, padded to max_total
+    stream = np.zeros(max_total, np.uint8)
+    if local_total:
+        stream[:local_total] = np.frombuffer(
+            b"".join(enc.payloads), dtype=np.uint8)
+    all_streams = np.asarray(mhu.process_allgather(stream))
+    all_streams = all_streams.reshape(-1, max_total)
 
-    all_buf = all_buf.reshape(-1, max_size)
-    all_meta = np.concatenate([m for m in all_meta], axis=1)
-    g_sizes, g_mins, g_bits, g_lens = all_meta
-
-    payloads = [all_buf[i, :g_sizes[i]].tobytes()
-                for i in range(all_buf.shape[0])]
-    return EncodedBlocks(payloads, g_mins, g_bits, g_lens)
+    payloads: list = []
+    mins: list = []
+    bits: list = []
+    lens: list = []
+    for p in range(counts.shape[0]):
+        bp = int(counts[p, 0])
+        p_sizes = all_meta[p, 0, :bp]
+        offs = np.concatenate([[0], np.cumsum(p_sizes)])
+        for i in range(bp):
+            payloads.append(
+                all_streams[p, offs[i]:offs[i + 1]].tobytes())
+        mins.append(all_meta[p, 1, :bp])
+        bits.append(all_meta[p, 2, :bp])
+        lens.append(all_meta[p, 3, :bp])
+    return EncodedBlocks(payloads,
+                         np.concatenate(mins),
+                         np.concatenate(bits),
+                         np.concatenate(lens))

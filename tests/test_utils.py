@@ -87,10 +87,11 @@ def test_weighted_contiguous_balances_and_covers():
     assert max(sums) <= 2 * weights.sum() / 8 + weights.max()
 
 
-def test_multiprocess_gather_two_jax_processes():
-    """Real 2-process jax.distributed run (CPU, gloo): gathered blocks
-    on process 0 are byte-identical to a single-process encode in
-    process-major writer order (tools/multiprocess_gather_check.py)."""
+def test_multiprocess_gather_four_jax_processes():
+    """Real 4-process jax.distributed run (CPU, gloo) with *unequal*
+    per-process block counts and ragged block lengths: the
+    coordinator-written minh file is byte-identical to a single-process
+    host write (tools/multiprocess_gather_check.py)."""
     import os
     import subprocess
     import sys
@@ -106,3 +107,41 @@ def test_multiprocess_gather_two_jax_processes():
         env=env, capture_output=True, text=True, timeout=180)
     assert res.returncode == 0, res.stdout + res.stderr
     assert "multiprocess gather OK" in res.stdout
+
+
+def test_init_distributed_propagates_intended_failures(monkeypatch):
+    """A coordinator failure must not degrade silently into a wrong
+    single-process run (init_distributed contract)."""
+    import pytest
+
+    from minnow_tpu.parallel import distributed
+
+    import jax
+
+    def boom(**kw):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+
+    # explicit multi-process intent (kwargs) -> propagate
+    with pytest.raises(RuntimeError, match="refusing to continue"):
+        distributed.init_distributed(
+            coordinator_address="localhost:1", num_processes=2,
+            process_id=0)
+
+    # cluster env intent -> propagate
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1")
+    with pytest.raises(RuntimeError, match="refusing to continue"):
+        distributed.init_distributed()
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+
+    # no intent anywhere: plain single-process convenience, no raise
+    distributed.init_distributed()
+
+    # double-initialization stays a no-op
+    def already(**kw):
+        raise RuntimeError("jax.distributed is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    distributed.init_distributed(coordinator_address="x", num_processes=2,
+                                 process_id=0)

@@ -1,9 +1,12 @@
-"""Two-process validation of parallel/distributed.gather_blocks.
+"""Multi-process validation of parallel/distributed.gather_blocks.
 
-Runs the same encode on two JAX processes (CPU backend, local
-coordinator) and checks that the gathered blocks on process 0 equal a
-single-process encode of the concatenated data -- the ordered multi-host
-gather contract (process-major writer order).
+Four JAX processes (CPU backend, local coordinator) encode *unequal*
+per-process shares of the row-blocks of a small catalog (ragged block
+lengths included), gather them with gather_blocks, and process 0 writes
+a complete **minh** file from the gathered streams -- which must be
+byte-identical to a plain single-process host minh write of the full
+catalog (the ordered multi-host writer contract, process-major global
+block order, ref go/block_index.go:16-23).
 
 Usage (the test suite drives this; manual run):
   python tools/multiprocess_gather_check.py
@@ -16,6 +19,51 @@ import pickle
 import subprocess
 import sys
 import tempfile
+
+NUM_PROCS = 4
+# global row-blocks (ragged sizes), dealt process-major: [2, 1, 1, 1]
+BLOCK_SIZES = [61, 48, 64, 33, 57]
+OWNERS = [0, 0, 1, 2, 3]
+L, EPS = 100.0, 0.01
+MVIR_LO, MVIR_HI = 1e9, 1e15
+
+
+def make_catalog():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    base = 0
+    for n in BLOCK_SIZES:
+        ids = np.arange(n, dtype=np.int64) * 13 + base
+        x = rng.uniform(0, L - 0.1, n).astype(np.float32)
+        mvir = rng.uniform(MVIR_LO, MVIR_HI, n).astype(np.float32)
+        blocks.append((ids, x, mvir))
+        base += n * 13
+    return blocks
+
+
+def minh_cols():
+    from minnow_tpu.formats import minh
+
+    return ["id", "x", "mvir"], [
+        minh.Column(type=minh.Int),
+        minh.Column(type=minh.Float, low=0.0, high=L, dx=EPS),
+        minh.Column(type=minh.Float, low=MVIR_LO, high=MVIR_HI, dx=1e9),
+    ]
+
+
+def write_host_minh(path, blocks):
+    """Plain single-process reference write."""
+    from minnow_tpu.formats import minh
+
+    names, cols = minh_cols()
+    w = minh.create(path)
+    w.header(names, "multiprocess gather check", cols)
+    w.geometry(L, 0, 0)
+    for ids, x, mvir in blocks:
+        w.block([ids, x, mvir])
+    w.close()
 
 
 def worker(process_id: int, num: int, port: int, out_file: str) -> None:
@@ -32,43 +80,76 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from minnow_tpu.core import spec
+    from minnow_tpu.formats import minh
     from minnow_tpu.parallel import BlockEncoder
     from minnow_tpu.parallel.distributed import gather_blocks
 
-    rng = np.random.default_rng(7)
-    all_x = rng.integers(-(2**40), 2**40, (8, 64), dtype=np.int64)
-    all_f = rng.uniform(0, 99.9, (8, 64)).astype(np.float32)
-    local = slice(process_id * 4, (process_id + 1) * 4)  # process-major
+    blocks = make_catalog()
+    names, cols = minh_cols()
+    mine = [i for i, o in enumerate(OWNERS) if o == process_id]
 
     be = BlockEncoder()
-    enc_i = gather_blocks(be.encode_int_blocks(all_x[local]))
-    from minnow_tpu.core import spec
 
-    pixels = spec.float_group_pixels(0.0, 100.0, 0.01)
+    # int column: one encoded block per owned row-block (ragged lens)
+    n_max = max(BLOCK_SIZES)
+    ib = np.zeros((len(mine), n_max), np.int64)
+    ilens = np.zeros(len(mine), np.int64)
+    for r, g in enumerate(mine):
+        ids = blocks[g][0]
+        ib[r, :len(ids)] = ids
+        ilens[r] = len(ids)
+    enc_i = gather_blocks(be.encode_int_blocks(ib, lens=ilens))
+
+    # float columns: flatten (row-block, col) process-major
+    fcols = [1, 2]  # x, mvir
+    fb = np.zeros((len(mine) * len(fcols), n_max), np.float32)
+    flens = np.zeros(len(mine) * len(fcols), np.int64)
+    flow = np.zeros(len(mine) * len(fcols), np.float32)
+    fhigh = np.zeros(len(mine) * len(fcols), np.float32)
+    fpix = np.zeros(len(mine) * len(fcols), np.int64)
+    k = 0
+    for r, g in enumerate(mine):
+        for c in fcols:
+            col = cols[c]
+            data = minh.process_float_column(blocks[g][c], col)
+            fb[k, :len(data)] = data
+            flens[k] = len(data)
+            flow[k] = col.low
+            fhigh[k] = col.high
+            fpix[k] = spec.float_group_pixels(col.low, col.high, col.dx)
+            k += 1
     enc_f = gather_blocks(be.encode_float_blocks(
-        all_f[local], 0.0, 100.0, pixels))
+        fb, flow, fhigh, fpix, lens=flens))
 
     if process_id == 0:
-        # coordinator writes ONE file from the gathered blocks --
-        # the BASELINE "ordered gather to one bit-exact file" config
-        import minnow_tpu as minnow
-
-        mp_file = out_file + ".minnow"
-        w = minnow.create(mp_file)
-        w.int_group(64)
-        enc_i.write_to(w)
-        w.float_group(64, (0.0, 100.0), 0.01)
-        enc_f.write_to(w)
+        # coordinator writes ONE minh file from the gathered streams
+        mp_file = out_file + ".minh"
+        w = minh.create(mp_file)
+        w.header(names, "multiprocess gather check", cols)
+        w.geometry(L, 0, 0)
+        fi = 0
+        for g, (ids, x, mvir) in enumerate(blocks):
+            n = BLOCK_SIZES[g]
+            w.block_sizes.append(n)
+            w.blocks += 1
+            # column order: id (Int), x (Float), mvir (Float)
+            w.f.int_group(n)
+            w.f.data_encoded(enc_i.payloads[g], int(enc_i.mins[g]),
+                             int(enc_i.bits[g]))
+            for _ in range(2):
+                col = cols[1 + (fi % 2)]
+                w.f.float_group(n, (col.low, col.high), col.dx)
+                w.f.data_encoded(enc_f.payloads[fi],
+                                 int(enc_f.mins[fi]),
+                                 int(enc_f.bits[fi]))
+                fi += 1
         w.close()
         with open(out_file, "wb") as f:
-            pickle.dump({
-                "payloads": enc_i.payloads,
-                "mins": np.asarray(enc_i.mins),
-                "bits": np.asarray(enc_i.bits),
-                "all_x": all_x,
-                "all_f": all_f,
-                "mp_file": mp_file,
-            }, f)
+            pickle.dump({"mp_file": mp_file,
+                         "counts": [len(m) for m in [
+                             [i for i, o in enumerate(OWNERS) if o == p]
+                             for p in range(num)]]}, f)
 
 
 def main() -> int:
@@ -80,47 +161,33 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker",
-             str(i), "2", str(port), out_file], env=env)
-        for i in range(2)
+             str(i), str(NUM_PROCS), str(port), out_file], env=env)
+        for i in range(NUM_PROCS)
     ]
+    rc = 0
     for p in procs:
-        if p.wait(timeout=120) != 0:
+        if p.wait(timeout=180) != 0:
             print("worker failed")
-            return 1
-
-    import numpy as np
+            rc = 1
+    if rc:
+        return rc
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    import minnow_tpu as minnow
-    from minnow_tpu.core import spec
 
     with open(out_file, "rb") as f:
         got = pickle.load(f)
-    all_x = got["all_x"]
-    assert len(got["payloads"]) == 8
-    for i in range(8):
-        payload, mn, bits = spec.encode_int_block(all_x[i])
-        assert got["payloads"][i] == payload, i
-        assert got["mins"][i] == mn and got["bits"][i] == bits, i
+    assert got["counts"] == [2, 1, 1, 1], got["counts"]
 
-    # the coordinator-written file must be byte-identical to a pure
-    # single-process host write of the full dataset
-    ref_file = out_file + ".ref.minnow"
-    w = minnow.create(ref_file)
-    w.int_group(64)
-    for row in all_x:
-        w.data(row)
-    w.float_group(64, (0.0, 100.0), 0.01)
-    for row in got["all_f"]:
-        w.data(row)
-    w.close()
+    ref_file = out_file + ".ref.minh"
+    write_host_minh(ref_file, make_catalog())
     mp_bytes = open(got["mp_file"], "rb").read()
     ref_bytes = open(ref_file, "rb").read()
-    assert mp_bytes == ref_bytes, "multiprocess file differs from host"
-    print("multiprocess gather OK: 16 blocks across int+float groups, "
-          "coordinator-written file byte-identical to a single-process "
-          "host write (%d bytes)" % len(mp_bytes))
+    assert mp_bytes == ref_bytes, "multiprocess minh differs from host"
+    print("multiprocess gather OK: %d processes, unequal block counts "
+          "%s, ragged lens, coordinator-written minh byte-identical to "
+          "a single-process host write (%d bytes)"
+          % (NUM_PROCS, got["counts"], len(mp_bytes)))
     return 0
 
 

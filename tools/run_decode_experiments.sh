@@ -5,6 +5,7 @@
 # lines.
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 LOG=${1:-/root/repo/tools/decode_experiments.log}
 for exp in ceiling transpose gather v0_current v3_flatT v1_concat v2_lanegather; do
     echo "=== $exp $(date +%H:%M:%S) ===" >> "$LOG"
