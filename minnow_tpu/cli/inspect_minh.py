@@ -3,6 +3,11 @@ ref scripts/test_minh.py generalized: prints instead of plotting).
 
 Usage:
   python -m minnow_tpu.cli.inspect_minh <file.minh> [column ...]
+        [--device]
+
+With ``--device`` bulk column reads run through the batched device
+decoder (formats/minh_device.py); values are bit-identical to the host
+reader in the ``none`` dither mode used here.
 """
 
 from __future__ import annotations
@@ -15,7 +20,10 @@ from ..formats import minh
 
 
 def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
+    argv = list(sys.argv[1:] if argv is None else argv)
+    device = "--device" in argv
+    if device:
+        argv.remove("--device")
     if not argv:
         raise SystemExit(__doc__)
     r = minh.open(argv[0], dither="none")
@@ -30,13 +38,29 @@ def main(argv=None):
     for name, col in zip(r.names, r.columns):
         print("  %-20s %s" % (name, col))
 
+    if device:
+        from ..formats import minh_device
+
+        read_floats = lambda names: minh_device.read_floats(  # noqa: E731
+            r, names, dither="none")
+        read_ints = lambda names: minh_device.read_ints(r, names)  # noqa: E731
+    else:
+        read_floats = r.floats
+        read_ints = r.ints
+
     names = argv[1:] or r.names
     for name in names:
         c = r.names.index(name)
         col = r.columns[c]
-        if col.type in (minh.Float, minh.Float32):
+        # compressed columns decode on device; raw fixed columns are a
+        # plain host memcpy (nothing for the device to decode)
+        if col.type == minh.Float:
+            data = read_floats([name])[name]
+        elif col.type == minh.Int:
+            data = read_ints([name])[name]
+        elif col.type == minh.Float32:
             data = r.floats([name])[name]
-        elif col.type in (minh.Int, minh.Int64):
+        elif col.type == minh.Int64:
             data = r.ints([name])[name]
         else:
             continue

@@ -135,8 +135,9 @@ class BlockEncoder:
         (x_d, lens_d) = self._shard(x, lens_p)
         deltas, mins, maxd = codec.prepare_int_blocks(x_d, lens_d)
         deltas = deltas[:b]  # stays on device
-        mins = np.asarray(mins)[:b]
+        mins = np.asarray(mins)[:b].copy()
         maxd = np.asarray(maxd)[:b]
+        mins[lens == 0] = 0  # empty block: min is 0 (ref go/group.go:244)
         bits = np.array([spec.precision_needed(int(m)) for m in maxd],
                         dtype=np.int64)
         payloads = self._bucket_pack(deltas, bits, lens)
@@ -191,6 +192,7 @@ class BlockEncoder:
         deltas = deltas[:b]  # stays on device
         mins = np.asarray(mins)[:b].astype(np.int64)
         maxd = np.asarray(maxd)[:b].astype(np.uint64)
+        mins[lens == 0] = 0  # empty block: min is 0 (ref go/group.go:244)
         valid = np.asarray(valid)[:b] & dok[:b]
 
         if not valid.all():

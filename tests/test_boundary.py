@@ -239,3 +239,44 @@ def test_boundary_membership_matches_brute_force(tmp_path):
         assert list(blk["pid"]) == want_members[c], c
         assert list(blk["boundary"]) == want_flags[c], c
     r.close()
+
+
+def test_device_boundary_writer_byte_identical(tmp_path):
+    """DeviceBoundaryWriter (all cells of a column in one batched device
+    encode) produces the byte-identical file to the host per-cell loop,
+    including empty cells and ragged cell sizes
+    (ref go/minh/boundary.go:184-225)."""
+    from minnow_tpu.formats.boundary_device import DeviceBoundaryWriter
+
+    rng = np.random.default_rng(17)
+    l, cells, bnd = 100.0, 4, 5.0
+    n = 800
+    # cluster the points so several of the 64 cells stay empty
+    x = (rng.uniform(0, 0.4, n) * l).astype(np.float32)
+    y = (rng.uniform(0, 0.6, n) * l).astype(np.float32)
+    z = (rng.uniform(0.5, 1.0, n) * l).astype(np.float32)
+    ids = rng.integers(0, 10**12, n).astype(np.int64)
+    mvir = rng.uniform(1e9, 1e14, n).astype(np.float32)
+
+    def write(fname, device):
+        w = boundary.create_boundary(fname)
+        if device:
+            w = DeviceBoundaryWriter(w)
+        w.header("device-boundary test")
+        w.geometry(l, bnd, cells)
+        w.coordinates(x, y, z)
+        w.column("id", minh.Column(type=minh.Int), ids)
+        w.column("x", minh.Column(type=minh.Float, low=0, high=l,
+                                  dx=0.001), x)
+        w.column("mvir", minh.Column(type=minh.Float, low=1e9, high=1e14,
+                                     dx=1e8), mvir)
+        w.column("raw", minh.Column(type=minh.Float32), x)
+        w.close()
+
+    host_f = str(tmp_path / "host.minh")
+    dev_f = str(tmp_path / "dev.minh")
+    write(host_f, device=False)
+    write(dev_f, device=True)
+    host_bytes = open(host_f, "rb").read()
+    dev_bytes = open(dev_f, "rb").read()
+    assert host_bytes == dev_bytes

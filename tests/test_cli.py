@@ -154,3 +154,40 @@ def test_convert_snapshot_cycle(tmp_path):
         # minp IDs are the 0-based Lagrangian reconstruction
         # (ref go/minp/minp.go:210-230)
         np.testing.assert_array_equal(back.read_id(i), grid.read_id(i))
+
+
+def test_minh_to_bnd_device_matches_host(catalog_env):
+    """--device boundary conversion (batched device decode + encode) is
+    byte-identical to the host path under a shared deterministic dither
+    (host/device uniform streams are backend-specific by design)."""
+    env = catalog_env
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"])])
+    src = env["out"] / "hlist_1.00000.minh"
+
+    host_out = env["tmp_path"] / "host.bnd.minh"
+    dev_out = env["tmp_path"] / "dev.bnd.minh"
+    minh_to_bnd.convert_file(str(src), str(host_out), 2, 5.0,
+                             device=False, dither="none")
+    minh_to_bnd.convert_file(str(src), str(dev_out), 2, 5.0,
+                             device=True, dither="none")
+    assert host_out.read_bytes() == dev_out.read_bytes()
+
+
+def test_inspect_minh_device(catalog_env, capsys):
+    """--device bulk reads (batched device decoder) print the same
+    summary as the host reader."""
+    from minnow_tpu.cli import inspect_minh
+
+    env = catalog_env
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"])])
+    src = str(env["out"] / "hlist_1.00000.minh")
+    capsys.readouterr()  # drop the conversion's progress prints
+
+    inspect_minh.main([src])
+    host_txt = capsys.readouterr().out
+    inspect_minh.main([src, "--device"])
+    dev_txt = capsys.readouterr().out
+    assert dev_txt == host_txt
+    assert "columns" in host_txt
