@@ -124,6 +124,82 @@ def _safe_slope(by1, by2, t1, t2):
     return by2 / 1e9 / t2
 
 
+def bench_sustained(batches=16, b=64, n=1 << 20):
+    """Sustained many-batches-in-flight throughput: enqueue ``batches``
+    encode (then decode) dispatches over pre-resident device buffers and
+    sync ONCE at the end -- the number a production host sees when it
+    streams block batches (ref scripts/text_to_minh.go:208-212 streaming
+    loop).  The per-dispatch tunnel round trip (~25 ms when syncing every
+    call) amortizes across the in-flight queue."""
+    import jax
+    import jax.numpy as jnp
+
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, codec, fastdiv
+
+    bits, low, high, dx = 18, 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    rng = np.random.default_rng(2)
+    lowv = np.full(b, low, np.float32)
+    highv = np.full(b, high, np.float32)
+    pixv = np.full(b, pixels, np.int64)
+    lens = np.full(b, n, np.int64)
+    periodic = np.ones(b, bool)
+    dxq = np.full(b, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+
+    @jax.jit
+    def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
+        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
+            x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
+        words = bitpack.pack_batch(deltas, bits)
+        return words, mins
+
+    @jax.jit
+    def decode(words, mins, lowv, highv, pixv):
+        q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
+            + mins[:, None]
+        q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
+        return codec.dequantize24(q, lowv[:, None], highv[:, None],
+                                  pixv[:, None])
+
+    # distinct resident input buffers, round-robin (forces real reads)
+    n_bufs = 4
+    xs = [jax.device_put(
+        rng.uniform(0, 249.9, (b, n)).astype(np.float32))
+        for _ in range(n_bufs)]
+    consts = tuple(jax.device_put(a) for a in
+                   (lowv, pixv, lens, periodic, db, deb, dm0, dm1))
+
+    # warm both graphs
+    w0, m0_ = encode(xs[0], *consts)
+    dec_consts = (consts[0], jax.device_put(highv), consts[1])
+    np.asarray(decode(w0, m0_, *dec_consts)[0, :1])
+
+    batch_bytes = b * n * 4
+    t0 = time.perf_counter()
+    outs = [encode(xs[i % n_bufs], *consts) for i in range(batches)]
+    for w, m in outs:
+        np.asarray(m[:1])  # sync every dispatch's completion
+    t_enc = time.perf_counter() - t0
+
+    words_bufs = [outs[i][0] for i in range(n_bufs)]
+    mins_bufs = [outs[i][1] for i in range(n_bufs)]
+    t0 = time.perf_counter()
+    douts = [decode(words_bufs[i % n_bufs], mins_bufs[i % n_bufs],
+                    *dec_consts) for i in range(batches)]
+    for d in douts:
+        np.asarray(d[0, :1])
+    t_dec = time.perf_counter() - t0
+
+    total_gb = batches * batch_bytes / 1e9
+    return {"sustained_encode_GBps": round(total_gb / t_enc, 3),
+            "sustained_decode_GBps": round(total_gb / t_dec, 3),
+            "sustained_total_GB": round(total_gb, 2),
+            "sustained_batches_in_flight": batches}
+
+
 def bench_extra_configs():
     """Secondary BASELINE.json configs: raw bit-pack round trip and the
     64-bit int-column (halo ID) path.  Slope-based like the headline."""
@@ -286,6 +362,10 @@ def main():
         "device": str(jax.devices()[0]),
     }
     detail.update(extra)
+    try:
+        detail.update(bench_sustained())
+    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
+        detail["sustained_error"] = str(e)[:120]
     try:
         detail.update(bench_extra_configs())
     except Exception as e:  # noqa: BLE001 - secondary configs are best-effort

@@ -1,0 +1,193 @@
+"""Fused Pallas decode kernel: packed words -> dequantized float32 in
+ONE pass through HBM.
+
+The XLA decode path (ops/bitpack.py unpack + ops/codec.py dequantize)
+round-trips its layout changes through HBM: the measured attribution on
+v5e (tools/decode_experiments.py) shows the (t, bits) -> (bits, t)
+transpose alone running at ~1/3 of the streaming ceiling, and the full
+decode at ~1/7.  This kernel keeps the whole tile pipeline VMEM-resident:
+
+  HBM read (R, bits) words -> in-VMEM transpose -> static-slice word
+  expansion -> per-row vector shifts (the Mosaic-safe formulation, see
+  ops/bitpack._shift_parts) -> +min -> periodic bound -> dequantize
+  (f32) -> in-VMEM transpose -> HBM write (R, 32) floats
+
+so HBM traffic is exactly words-in + floats-out (ref decode loop:
+go/bit/bit.go:41-81 + go/group.go:299-310).
+
+Bit-exactness contract: identical to codec.decode_float_blocks32 /
+the host spec in the shared deterministic dither modes (``none`` /
+``midpoint``); ops/validate.py gates it on the real backend before
+bench.py trusts it.  The ``uniform`` device dither stream is defined by
+the XLA threefry path, so uniform decode stays on the XLA path.
+
+Shapes: widths <= 32, pixels < 2^24, n % 32 == 0 (flagship and all
+realistic minh configs); other shapes use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["decode_float_pallas", "unpack_pallas", "supported"]
+
+
+def supported(bits: int, n: int, pixels_max: int) -> bool:
+    """Shapes the fused kernel handles (else use the XLA path)."""
+    return (0 < bits <= 32 and n % 32 == 0 and (n // 32) % 8 == 0
+            and pixels_max < (1 << 24))
+
+
+def _row_shifts(bits: int):
+    """Static per-element-row word indices and shift amounts: element j
+    of a 32-element tile starts at bit j*bits = word w1[j], bit s[j]
+    (ref go/bit/bit.go layout)."""
+    offs = np.arange(32, dtype=np.int64) * bits
+    s = (offs % 32).astype(np.int32)
+    w1 = np.minimum(offs // 32, bits - 1).astype(np.int64)
+    w2 = np.minimum(offs // 32 + 1, bits - 1).astype(np.int64)
+    s2 = ((32 - s) % 32).astype(np.int32)
+    return s, w1, w2, s2
+
+
+def _expand_rows(wt, idx):
+    """(bits, R) -> (32, R) by static row slices (the gather is a
+    compile-time concat; Mosaic-safe, no dynamic indexing)."""
+    rows = []
+    j = 0
+    while j < 32:
+        k = j
+        while k < 32 and idx[k] == idx[j]:
+            k += 1
+        row = wt[int(idx[j]):int(idx[j]) + 1, :]
+        if k - j > 1:
+            row = jnp.broadcast_to(row, (k - j, row.shape[1]))
+        rows.append(row)
+        j = k
+    return jnp.concatenate(rows, axis=0)
+
+
+def _unpack_tile(w, bits: int):
+    """(R, bits) words -> (32, R) u32 element values."""
+    s, w1, w2, s2 = _row_shifts(bits)
+    mask = np.uint32((1 << bits) - 1) if bits < 32 \
+        else np.uint32(0xFFFFFFFF)
+    wt = w.T  # (bits, R) -- in-VMEM transpose
+    a = _expand_rows(wt, w1)
+    b = _expand_rows(wt, w2)
+    # shift vectors built in-kernel (kernels cannot capture array
+    # constants); & 31 instead of % 32 -- jnp.mod recurses during Mosaic
+    # kernel tracing (see ops/pallas_pack.py findings)
+    j = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    s_c = ((j * bits) & 31).astype(jnp.uint32)
+    s2_c = ((32 - ((j * bits) & 31)) & 31).astype(jnp.uint32)
+    out = a >> s_c
+    out = out | jnp.where(s_c > 0, b << s2_c, jnp.uint32(0))
+    return out & mask
+
+
+def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
+                   dx_ref, pix_ref, per_ref, out_ref):
+    q = _unpack_tile(w_ref[...], bits).astype(jnp.int32)  # (32, R)
+    q = q + mn_ref[0, 0]
+    p = pix_ref[0, 0]
+    per = per_ref[0, 0] != 0
+    qb = q + jnp.where(q < 0, p, 0)
+    qb = qb - jnp.where(qb >= p, p, 0)
+    q = jnp.where(per, qb, q)
+    v = q.astype(jnp.float32)
+    if dither == "midpoint":
+        v = v + jnp.float32(0.5)
+    prod = dx_ref[0, 0] * v
+    # block FMA contraction of dx*v + low (would break bit parity with
+    # the spec): select on a runtime-unprovable predicate, as in
+    # codec.dequantize24
+    prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
+    out_ref[...] = (prod + low_ref[0, 0]).T  # (R, 32)
+
+
+def _unpack_kernel(bits: int, w_ref, out_ref):
+    out_ref[...] = _unpack_tile(w_ref[...], bits).T  # (R, 32)
+
+
+def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
+               interpret):
+    steps = t // r
+    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, steps),
+        in_specs=[pl.BlockSpec((r, bits),
+                               lambda i, j: (i * steps + j, 0))]
+        + [scalar_spec] * n_scalars,
+        out_specs=pl.BlockSpec((r, 32), lambda i, j: (i * steps + j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * t, 32), out_dtype),
+        interpret=interpret,
+    )
+
+
+def _pick_r(t: int) -> int:
+    """Rows (tiles) per grid step: VMEM-friendly, divides t, multiple
+    of 8."""
+    r = min(t, 2048)
+    while t % r:
+        r //= 2
+    return max(r, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "dither",
+                                             "interpret"))
+def decode_float_pallas(words, mins, low, high, pixels, periodic,
+                        bits: int, n: int, dither: str = "none",
+                        interpret: bool = False):
+    """Fused decode of (B, W) packed words -> (B, n) float32.
+
+    ``mins``/``low``/``high``/``pixels`` are (B,) per-block arrays;
+    pixels must be < 2^24 (caller-checked via :func:`supported`).
+    Bit-identical to codec.decode_float_blocks32 in ``none``/``midpoint``
+    dither modes."""
+    if dither not in ("none", "midpoint"):
+        raise ValueError("pallas decode supports none/midpoint dither")
+    b = words.shape[0]
+    t = n // 32
+    r = _pick_r(t)
+    # per-block f32 dx exactly as the spec computes it: XLA f32 division
+    # is approximate, so the (B,)-scalar dx goes through the pinned f64
+    # path (ref go/group.go:316; codec._dx64)
+    from . import codec as _codec
+
+    low32 = low.astype(jnp.float32)
+    dx = _codec._dx64(low32, high.astype(jnp.float32),
+                      pixels).astype(jnp.float32)
+
+    w2d = words[:, :t * bits].reshape(b * t, bits)
+    call = _grid_call(
+        functools.partial(_decode_kernel, bits, dither),
+        b, t, r, bits, 5, jnp.float32, interpret)
+    out = call(w2d,
+               mins.astype(jnp.int32).reshape(b, 1),
+               low32.reshape(b, 1),
+               dx.reshape(b, 1),
+               pixels.astype(jnp.int32).reshape(b, 1),
+               periodic.astype(jnp.int32).reshape(b, 1))
+    return out.reshape(b, t * 32)[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret"))
+def unpack_pallas(words, bits: int, n: int, interpret: bool = False):
+    """(B, W) packed words -> (B, n) uint32 raw values (the Pallas twin
+    of bitpack.unpack_batch32, for byte-level validation)."""
+    b = words.shape[0]
+    t = n // 32
+    r = _pick_r(t)
+    w2d = words[:, :t * bits].reshape(b * t, bits)
+    call = _grid_call(functools.partial(_unpack_kernel, bits),
+                      b, t, r, bits, 0, jnp.uint32, interpret)
+    return call(w2d).reshape(b, t * 32)[:, :n]
