@@ -1,0 +1,294 @@
+"""Fused Pallas encode kernel: float32 block -> packed words in ONE
+pass through HBM.
+
+The XLA encode path runs two HBM passes (prepare: x in / deltas out,
+then pack: deltas in / words out), ~14.25 bytes of traffic per element.
+This kernel holds one whole minnow block in VMEM and runs
+
+  quantize (exact, integer) -> periodic recenter -> min/max stats ->
+  delta -> bit-pack at the column's static predicted width
+
+reading x (4 B/elem) and writing words (bits/8 B/elem) only
+(ref fused hot loop: go/group.go:312-327 + go/bit/bit.go:100-131).
+
+Exact quantization without 64-bit integers: quantize_fast
+(ops/fastdiv.py) is re-derived in 16-bit-limb uint32 arithmetic --
+every 64-bit product of the magic-reciprocal expression is decomposed
+into 16x16 partial products with explicit carries, so the kernel needs
+only native u32/i32 VPU ops (Mosaic has no unsigned reductions and may
+lack i64 vectors; round-1 findings in ops/pallas_pack.py).  Bit-for-bit
+equal to fastdiv.quantize_fast (tests/test_pallas_codec.py).
+
+Width handling: the pack width is static per call -- the column's
+predicted width ``bits_needed(pixels - 1)``.  The kernel also emits the
+true per-block (min, maxdelta, valid); the host wrapper re-encodes the
+rare blocks whose true width differs (clustered data where
+min-subtraction wins) or that the quantizer cannot certify, via the
+normative XLA/host path.  Bytes are therefore always reference-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["encode_float_pallas", "supported"]
+
+
+def supported(bits: int, n: int, pixels_max: int) -> bool:
+    return (0 < bits <= 30 and n % 32 == 0 and (n // 32) % 8 == 0
+            and pixels_max < (1 << 24))
+
+
+# ---------------------------------------------------------------------------
+# 16-bit-limb u32 arithmetic (all intermediates provably < 2^32)
+# ---------------------------------------------------------------------------
+
+
+def _umulhi_24x32(a, m):
+    """high32(a * m) for a < 2^24, m < 2^32, in u32 ops."""
+    a0 = a & np.uint32(0xFFFF)
+    a1 = a >> np.uint32(16)          # < 2^8
+    u0 = m & np.uint32(0xFFFF)
+    u1 = m >> np.uint32(16)
+    ll = a0 * u0                      # < 2^32
+    lh = a0 * u1                      # < 2^32
+    hl = a1 * u0                      # < 2^24
+    hh = a1 * u1                      # < 2^24
+    carry = ((ll >> np.uint32(16)) + (lh & np.uint32(0xFFFF))
+             + (hl & np.uint32(0xFFFF))) >> np.uint32(16)
+    return hh + (lh >> np.uint32(16)) + (hl >> np.uint32(16)) + carry
+
+
+def _umul_full(a, m, a_max_bits: int, m_max_bits: int):
+    """(lo32, hi32) of a * m for a < 2^a_max_bits (<=25),
+    m < 2^m_max_bits (<=24); product < 2^49."""
+    a0 = a & np.uint32(0xFFFF)
+    a1 = a >> np.uint32(16)
+    u0 = m & np.uint32(0xFFFF)
+    u1 = m >> np.uint32(16)
+    y0 = a0 * u0
+    mid = a0 * u1 + a1 * u0          # < 2^26 for the given bounds
+    y3 = a1 * u1
+    lo = y0 + (mid << np.uint32(16))  # wrapping
+    carry = ((y0 >> np.uint32(16)) + (mid & np.uint32(0xFFFF))) \
+        >> np.uint32(16)
+    hi = y3 + (mid >> np.uint32(16)) + carry
+    return lo, hi
+
+
+def _quantize_limb(diff, b, eb, m0, m1):
+    """floor(RN32(diff / dx)) as int32, pure u32/i32 ops.
+
+    Per-element f32 ``diff``; scalars ``b`` (24-bit divisor mantissa),
+    ``eb`` (i32 exponent), ``m0``/``m1`` (magic reciprocal limbs,
+    m1 < 2^17).  Returns (q i32, exact bool).  Same certification
+    semantics as fastdiv.quantize_fast(out32=True)."""
+    bits_ = jax.lax.bitcast_convert_type(diff, jnp.uint32)
+    sign = bits_ >> np.uint32(31)
+    e_raw = ((bits_ >> np.uint32(23)) & np.uint32(0xFF)).astype(jnp.int32)
+    m_raw = bits_ & np.uint32(0x7FFFFF)
+    is_zero = (bits_ & np.uint32(0x7FFFFFFF)) == 0
+    invalid = e_raw == 255
+
+    # subnormal renormalization: exact msb via f32 conversion
+    safe_m = jnp.maximum(m_raw, np.uint32(1)).astype(jnp.int32)
+    msb = (jax.lax.bitcast_convert_type(
+        safe_m.astype(jnp.float32), jnp.uint32)
+        >> np.uint32(23)).astype(jnp.int32) - 127
+    shn = (23 - msb).astype(jnp.uint32)
+    subn = e_raw == 0
+    a = jnp.where(subn, m_raw << shn, m_raw | np.uint32(1 << 23))
+    ea = jnp.where(subn, -149 - shn.astype(jnp.int32), e_raw - 150)
+
+    t = (a < b).astype(jnp.int32)
+    # q24 = ((a*m0 >> 32) + a*m1) >> (40 - s), s = 23 + t
+    hi_am0 = _umulhi_24x32(a, m0)                 # < 2^24
+    lo1, hi1 = _umul_full(a, m1, 24, 17)          # a*m1 < 2^41
+    s_lo = hi_am0 + lo1                           # wrapping
+    carry = (s_lo < hi_am0).astype(jnp.uint32)
+    s_hi = hi1 + carry                            # < 2^10
+    sh = (np.uint32(17) - t.astype(jnp.uint32))   # 40 - s in {16, 17}
+    q24 = (s_lo >> sh) | (s_hi << (np.uint32(32) - sh))  # < 2^25
+
+    # rem = (a << s) - q24*b; rem < b < 2^24 so the low-32 wrap is exact
+    s_full = (np.uint32(23) + t.astype(jnp.uint32))
+    n_lo = a << s_full                            # wrapping
+    p_lo, _ = _umul_full(q24, b, 25, 24)
+    rem = n_lo - p_lo                             # exact (< 2^24)
+
+    r2 = rem << np.uint32(1)
+    up = (r2 > b) | ((r2 == b) & ((q24 & np.uint32(1)) == 1))
+    m_mant = q24 + up.astype(jnp.uint32)
+    e_z = ea - eb - t
+    ovf = m_mant == np.uint32(1 << 24)
+    m_mant = jnp.where(ovf, np.uint32(1 << 23), m_mant)
+    e_z = e_z + ovf.astype(jnp.int32)
+
+    invalid = invalid | (e_z >= 30) | (e_z < -120)
+
+    # floor(+-m_mant * 2^(e_z - 23)) with u32-safe shift amounts
+    big = e_z >= 23
+    up_sh = jnp.clip(e_z - 23, 0, 30).astype(jnp.uint32)
+    dn_raw = jnp.clip(23 - e_z, 0, 31 + 120 + 23)
+    dn_sh = jnp.minimum(dn_raw, 31).astype(jnp.uint32)
+    hi_zero = dn_raw >= 24                        # m_mant < 2^24
+    q_mag = jnp.where(big, m_mant << up_sh,
+                      jnp.where(hi_zero, np.uint32(0), m_mant >> dn_sh))
+    frac_mask = (np.uint32(1) << dn_sh) - np.uint32(1)
+    frac = (~big) & jnp.where(hi_zero, m_mant != 0,
+                              (m_mant & frac_mask) != 0)
+    q_val = jnp.where(sign == 0, q_mag.astype(jnp.int32),
+                      -(q_mag.astype(jnp.int32)) - frac.astype(jnp.int32))
+    q_val = jnp.where(is_zero, 0, q_val)
+    return q_val, is_zero | ~invalid
+
+
+# ---------------------------------------------------------------------------
+# in-kernel codec stages (ref go/group.go)
+# ---------------------------------------------------------------------------
+
+
+def _periodic_distance(x, x0, p):
+    d = x - x0
+    return jnp.where(
+        d >= 0,
+        jnp.where(d > p - d, d - p, d),
+        jnp.where(d < -(d + p), p + d, d))
+
+
+def _pack_tile(deltas_t, bits: int):
+    """(32, t) u32 deltas -> (t, bits) stream words (the Mosaic-safe
+    vector-shift + static-slice-sum formulation of ops/bitpack)."""
+    t_len = deltas_t.shape[1]
+    mask = np.uint32((1 << bits) - 1) if bits < 32 \
+        else np.uint32(0xFFFFFFFF)
+    j = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    s = ((j * bits) & 31).astype(jnp.uint32)
+    s2 = ((np.int32(32) - ((j * bits) & 31)) & 31).astype(jnp.uint32)
+    w = (np.arange(32, dtype=np.int64) * bits) // 32
+
+    xm = deltas_t & mask
+    part_lo = xm << s
+    part_sp = jnp.where(s > 0, xm >> s2, jnp.uint32(0))
+
+    # Mosaic lacks unsigned reductions; int32 addition is bitwise equal
+    bc = jax.lax.bitcast_convert_type
+    part_lo = bc(part_lo, jnp.int32)
+    part_sp = bc(part_sp, jnp.int32)
+
+    rows = []
+    for word in range(bits):
+        acc = None
+        for part, idx in ((part_lo, w), (part_sp, w + 1)):
+            j0 = int(np.searchsorted(idx, word, side="left"))
+            j1 = int(np.searchsorted(idx, word, side="right"))
+            if j1 > j0:
+                seg = part[j0:j1].sum(axis=0, dtype=jnp.int32,
+                                      keepdims=True)
+                acc = seg if acc is None else acc + seg
+        rows.append(acc if acc is not None
+                    else jnp.zeros((1, t_len), jnp.int32))
+    words = bc(jnp.concatenate(rows, axis=0), jnp.uint32)  # (bits, t)
+    return words.T  # (t, bits)
+
+
+def _encode_kernel(bits: int, x_ref, low_ref, b_ref, eb_ref, m0_ref,
+                   m1_ref, pix_ref, per_ref, w_ref, mn_ref, maxd_ref,
+                   valid_ref):
+    x = x_ref[...]                       # (t, 32) f32
+    diff = x - low_ref[0, 0]             # f32 sub, exact per spec
+    q, exact = _quantize_limb(diff, b_ref[0, 0], eb_ref[0, 0],
+                              m0_ref[0, 0], m1_ref[0, 0])
+    # bool reductions as i32 min (Mosaic-safe)
+    all_exact = jnp.min(exact.astype(jnp.int32)) == 1
+
+    p = pix_ref[0, 0]
+    in_range = jnp.min(((q >= 0) & (q < p)).astype(jnp.int32)) == 1
+
+    # one-pass periodic recentering (spec.periodic_min_fast)
+    x0 = q[0, 0]
+    y = _periodic_distance(q, x0, p)
+    ymin = jnp.min(y)
+    ymax = jnp.max(y)
+    wwin = ymax - ymin + 1
+    m = x0 + ymin
+    m = jnp.where(m < 0, m + p, m)
+    m = jnp.where(wwin > p // 2, 0, m)
+
+    per = per_ref[0, 0] != 0
+    qb = q + jnp.where(q < m, p, 0)
+    qb = qb - jnp.where(qb >= m + p, p, 0)
+    q = jnp.where(per, qb, q)
+
+    mn = jnp.min(q)
+    deltas = jax.lax.bitcast_convert_type(q - mn, jnp.uint32)
+    maxd = jnp.max(jax.lax.bitcast_convert_type(deltas, jnp.int32))
+
+    w_ref[...] = _pack_tile(deltas.T, bits)   # (t, bits)
+    mn_ref[0, 0] = mn
+    maxd_ref[0, 0] = maxd
+    valid_ref[0, 0] = ((in_range | ~per) & all_exact).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret"))
+def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
+                        bits: int, n: int, interpret: bool = False):
+    """Fused encode of (B, n) float32 -> packed words at static width
+    ``bits`` (= the column's predicted width).
+
+    ``low``/``periodic``/``pixels`` and the divisor decomposition
+    ``b/eb/m0/m1`` (fastdiv.divisor_magic, u32 limbs) are (B,) arrays.
+    Returns ``(words (B, t*bits), mins (B,), maxd (B,), valid (B,))``;
+    ``valid`` is False for blocks the in-kernel quantizer cannot certify
+    or with out-of-range pixels -- the caller re-encodes those (and any
+    block whose true width != bits) via the XLA/host path."""
+    bsz = x.shape[0]
+    t = n // 32
+    steps_r = min(t, 1024)
+    while t % steps_r:
+        steps_r //= 2
+    r = max(steps_r, 8)
+    steps = t // r
+
+    x2d = x[:, :n].reshape(bsz * t, 32)
+    scalar = functools.partial(pl.BlockSpec, (1, 1),
+                               memory_space=pltpu.SMEM)
+
+    # one whole block per grid row: grid = (B,), r rows per step would
+    # split the min/max reductions, so the kernel takes the full (t, 32)
+    # block (VMEM: t*32*4B * ~4 intermediates; t <= 8192 fits)
+    out = pl.pallas_call(
+        functools.partial(_encode_kernel, bits),
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((t, 32), lambda i: (i, 0))]
+        + [scalar(lambda i: (i, 0))] * 7,
+        out_specs=[
+            pl.BlockSpec((t, bits), lambda i: (i, 0)),
+            scalar(lambda i: (i, 0)),
+            scalar(lambda i: (i, 0)),
+            scalar(lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * t, bits), jnp.uint32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x2d,
+      low.astype(jnp.float32).reshape(bsz, 1),
+      b.astype(jnp.uint32).reshape(bsz, 1),
+      eb.astype(jnp.int32).reshape(bsz, 1),
+      m0.astype(jnp.uint32).reshape(bsz, 1),
+      m1.astype(jnp.uint32).reshape(bsz, 1),
+      pixels.astype(jnp.int32).reshape(bsz, 1),
+      periodic.astype(jnp.int32).reshape(bsz, 1))
+    words, mins, maxd, valid = out
+    return (words.reshape(bsz, t * bits), mins[:, 0].astype(jnp.int64),
+            maxd[:, 0].astype(jnp.int64), valid[:, 0] != 0)

@@ -64,3 +64,78 @@ def test_supported_predicate():
     assert not pallas_codec.supported(33, 1 << 17, 250000)
     assert not pallas_codec.supported(18, 1000, 250000)  # n % 32 != 0
     assert not pallas_codec.supported(18, 1 << 17, 1 << 25)
+
+
+# ---------------------------------------------------------------------------
+# fused encode kernel (ops/pallas_encode.py)
+# ---------------------------------------------------------------------------
+
+
+def test_limb_quantizer_bit_equal_to_fastdiv():
+    """The 16-bit-limb u32 reimplementation of the exact quantizer is
+    bit-for-bit fastdiv.quantize_fast, including pixel boundaries and
+    subnormal inputs."""
+    from minnow_tpu.ops import fastdiv, pallas_encode
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    dxs = np.array([0.001, 0.5, 3.0, 1e-6, 0.1], np.float32)
+    b, eb, m0, m1, ok = fastdiv.divisor_magic(dxs)
+    assert ok.all()
+    for i, dx in enumerate(dxs):
+        diffs = np.concatenate([
+            rng.uniform(0, 250, 5000).astype(np.float32),
+            np.arange(100).astype(np.float32) * dx,
+            np.nextafter(np.arange(50, dtype=np.float32) * dx, np.inf),
+            np.nextafter(np.arange(50, dtype=np.float32) * dx, -np.inf),
+            np.array([0.0, -0.0, 1e-38, -1e-38,
+                      np.float32(2.0 ** -149), 1e38, -5.5], np.float32),
+        ])
+        qf, ex_f = fastdiv.quantize_fast(
+            diffs, np.uint64(b[i]), np.int64(eb[i]), np.uint64(m0[i]),
+            np.uint64(m1[i]), out32=True)
+        f = jax.jit(lambda d, i=i: pallas_encode._quantize_limb(
+            d, jnp.uint32(b[i]), jnp.int32(eb[i]), jnp.uint32(m0[i]),
+            jnp.uint32(m1[i])))
+        ql, ex_l = f(diffs)
+        ql, ex_l, qf, ex_f = map(np.asarray, (ql, ex_l, qf, ex_f))
+        np.testing.assert_array_equal(ex_f, ex_l)
+        both = ex_f & ex_l
+        np.testing.assert_array_equal(ql[both], qf[both])
+
+
+def test_encode_float_pallas_byte_exact():
+    """Fused encode == spec.encode_float_block bytes for width-matching
+    blocks; width-mismatched (clustered) blocks are flagged for the
+    fallback path."""
+    from minnow_tpu.ops import fastdiv, pallas_encode
+
+    rng = np.random.default_rng(12)
+    B, n, bits = 6, 4096, 18
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (B, n)).astype(np.float32)
+    x[3] = rng.uniform(0, 2.0, n).astype(np.float32)  # narrow width
+    lowv = np.full(B, low, np.float32)
+    pixv = np.full(B, pixels, np.int64)
+    per = np.ones(B, bool)
+    dxq = np.full(B, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+
+    words, mins, maxd, valid = pallas_encode.encode_float_pallas(
+        x, lowv, db, deb, dm0, dm1, pixv, per, bits, n, interpret=True)
+    words, mins, maxd, valid = map(np.asarray, (words, mins, maxd,
+                                                valid))
+    assert valid.all()
+    narrow = 0
+    for i in range(B):
+        payload, mn, bts, _ = spec.encode_float_block(
+            x[i], low, high, pixels)
+        assert mins[i] == mn
+        assert spec.precision_needed(int(maxd[i])) == bts
+        if bts == bits:
+            assert bitpack.words_to_bytes(words[i], bits, n) == payload
+        else:
+            narrow += 1
+    assert narrow == 1  # the clustered block routes to the fallback

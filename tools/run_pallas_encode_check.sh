@@ -1,0 +1,12 @@
+#!/bin/bash
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+LOG=/root/repo/tools/pallas_encode_check.log
+while [ ! -f /root/repo/tools/pallas_decode_check.log ] || ! grep -q "ALL DONE" /root/repo/tools/pallas_decode_check.log; do
+    sleep 20
+done
+echo "=== pallas_encode_check $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 2400 python tools/pallas_encode_check.py >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "ALL DONE" >> "$LOG"
