@@ -293,12 +293,21 @@ def bench_text_to_minh(rows=250_000):
                                   out_path, timer=timer)
         dt = time.perf_counter() - t0
         out_mb = os.path.getsize(out_path) / 1e6
+
+        # pipelined mode: 2 MiB text blocks -> parse of block b+1
+        # overlaps encode of block b even within one file
+        pipe_path = os.path.join(td, "pipe.minh")
+        t0 = time.perf_counter()
+        text_to_minh.convert_file(cfg, idx, types, wanted, hlist,
+                                  pipe_path, block_size=2 << 20)
+        dt_pipe = time.perf_counter() - t0
         stages = {
             "text_to_minh_stage_" + k: (v.get("GBps", 0) or 0) * 1e3
             if "GBps" in v else round(v["seconds"] * 1e3, 1)
             for k, v in timer.report().items()}
         # stages with bytes report MB/s; others report milliseconds
         return {"text_to_minh_MBps": round(in_mb / dt, 2),
+                "text_to_minh_pipelined_MBps": round(in_mb / dt_pipe, 2),
                 "text_to_minh_ratio": round(in_mb / out_mb, 2),
                 "text_to_minh_stages_MBps_or_ms": {
                     k.replace("text_to_minh_stage_", ""): round(v, 1)

@@ -3,7 +3,7 @@ minh (ref scripts/text_to_minh.go -- the flagship encode pipeline).
 
 Usage:
   python -m minnow_tpu.cli.text_to_minh <config> <vars|all> <glob> <outdir>
-        [--device]
+        [--device] [--block-size=BYTES]
 
 Config file (ref text_to_minh.go:80-109):
 
@@ -133,13 +133,29 @@ def out_name(out_dir: str, hlist: str) -> str:
 
 
 def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
-                 threads=THREADS, timer=None):
+                 threads=THREADS, timer=None, block_size=None):
     """(ref text_to_minh.go:166-214).  ``timer`` (optional
     utils.profiling.StageTimer) collects per-stage seconds/GBps:
     read / scan_lines / parse (inside the text reader, possibly on the
     prefetch thread), parse_wait (pipeline bubble on the main thread),
-    encode+write, finalize."""
-    fr = rockstar.open_rockstar(hlist)
+    encode+write, finalize.
+
+    ``block_size`` caps the text-block size in bytes so parsing block
+    b+1 overlaps encoding block b even within one file.  Default None =
+    the reference's reader config (one row-block for files < 5 GiB,
+    ref go/text/text.go:30-37); smaller blocks change the (equally
+    valid) row-block structure of the output minh."""
+    from ..ingest import text as text_mod
+
+    config = None
+    if block_size is not None:
+        block_size = int(block_size)
+        config = text_mod.ReaderConfig(
+            max_block_size=block_size,
+            max_item_size=min(
+                text_mod.DEFAULT_READER_CONFIG.max_item_size,
+                block_size // 2))
+    fr = rockstar.open_rockstar(hlist, config)
     all_names = fr.names()
     header = fr.header()
 
@@ -292,6 +308,11 @@ def main(argv=None):
     device = "--device" in argv
     if device:
         argv.remove("--device")
+    block_size = None
+    for a in list(argv):
+        if a.startswith("--block-size="):
+            block_size = int(a.split("=", 1)[1])
+            argv.remove(a)
     if len(argv) != 4:
         raise SystemExit(__doc__)
     config_fname, vars_fname, in_pattern, out_dir = argv
@@ -305,7 +326,8 @@ def main(argv=None):
         print("Converting %s" % hlist)
         t0 = time.time()
         convert_file(cfg, idx, types, wanted, hlist,
-                     out_name(out_dir, hlist), device=device)
+                     out_name(out_dir, hlist), device=device,
+                     block_size=block_size)
         print("    %.2f minutes" % ((time.time() - t0) / 60))
 
 

@@ -191,3 +191,34 @@ def test_inspect_minh_device(catalog_env, capsys):
     dev_txt = capsys.readouterr().out
     assert dev_txt == host_txt
     assert "columns" in host_txt
+
+
+def test_text_to_minh_block_size_pipelining(catalog_env):
+    """--block-size splits the file into multiple row-blocks; decoded
+    values must be identical to the single-block conversion (the block
+    structure is a layout choice, not a semantic one)."""
+    env = catalog_env
+    cfgf = str(env["tmp_path"] / "run.config")
+    text_to_minh.main([cfgf, "all", str(env["hlist"]), str(env["out"])])
+    single = env["out"] / "hlist_1.00000.minh"
+
+    out2 = env["tmp_path"] / "split"
+    out2.mkdir()
+    text_to_minh.main([cfgf, "all", str(env["hlist"]), str(out2),
+                       "--block-size=4096"])
+    multi = out2 / "hlist_1.00000.minh"
+
+    r1 = minh.open(str(single), dither="none")
+    r2 = minh.open(str(multi), dither="none")
+    assert r2.blocks > r1.blocks  # really split
+    for name in r1.names:
+        col = r1.columns[r1.names.index(name)]
+        if col.type in (minh.Float, minh.Float32):
+            a = r1.floats([name])[name]
+            b = r2.floats([name])[name]
+        else:
+            a = r1.ints([name])[name]
+            b = r2.ints([name])[name]
+        np.testing.assert_array_equal(a, b)
+    r1.close()
+    r2.close()
