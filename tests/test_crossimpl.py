@@ -404,3 +404,69 @@ def test_reference_minh_reads_repo_float_columns(tmp_path):
             # value contract on the (possibly log-scaled) column
             ref_vals = buf.astype(np.float64)
             assert np.max(np.abs(got - ref_vals)) <= dx64 * 1.0001
+
+
+def test_reference_minh_reads_repo_boundary_file(tmp_path):
+    """The untouched reference minh reader decodes a repo-written
+    boundary-layout file: column-major block indexing (b + c*blocks,
+    ref python/minh.py:150-153), int columns exact, float columns with
+    exact pixel recovery."""
+    from minnow_tpu.formats import boundary
+
+    rng = np.random.default_rng(31)
+    l, cells, bnd = 100.0, 2, 10.0
+    n = 300
+    x = rng.uniform(0, l - 0.2, n).astype(np.float32)
+    y = rng.uniform(0, l - 0.2, n).astype(np.float32)
+    z = rng.uniform(0, l - 0.2, n).astype(np.float32)
+    ids = rng.integers(0, 10**10, n).astype(np.int64)
+
+    repo_file = tmp_path / "repo.bnd.minh"
+    w = boundary.create_boundary(str(repo_file))
+    w.header("crossimpl boundary")
+    w.geometry(l, bnd, cells)
+    w.coordinates(x, y, z)
+    cell_index = [np.array(i) for i in w.cell_index]
+    w.column("id", mminh.Column(type=mminh.Int), ids)
+    xcol = mminh.Column(type=mminh.Float, low=0.0, high=l, dx=0.01)
+    w.column("x", xcol, x)
+    w.close()
+
+    out_npz = tmp_path / "refread.npz"
+    run_ref("ref_minh_read.py", repo_file, out_npz)
+    out = np.load(out_npz)
+    assert out["names"].item() == "boundary$id$x"
+    assert int(out["cells"]) == cells
+    n_blocks = int(out["blocks"])
+    assert n_blocks == cells ** 3
+    lengths = out["block_lengths"]
+
+    # repo reader provides the expected per-cell ordering
+    r = mminh.open(str(repo_file), dither="none")
+    expect_ids = r.ints(["id"])["id"]
+    expect_flags = r.ints(["boundary"])["boundary"]
+    np.testing.assert_array_equal(out["col1"], expect_ids)
+    np.testing.assert_array_equal(out["col0"], expect_flags)
+
+    # float column: exact pixel recovery through the reference's own
+    # dither stream; container block index for boundary layout is
+    # b + c*blocks with c the x-column's container column (2)
+    pixels = spec.float_group_pixels(xcol.low, xcol.high, xcol.dx)
+    dx64 = (float(np.float32(xcol.high)) - float(np.float32(xcol.low))) \
+        / pixels
+    got_x = out["col2"].astype(np.float64)
+    i0 = 0
+    for b in range(n_blocks):
+        m = int(lengths[b])
+        idx = b + 2 * n_blocks
+        u = ref_dither(idx, m)
+        q_rec = np.rint(
+            (got_x[i0:i0 + m] - float(np.float32(xcol.low))) / dx64
+            - u).astype(np.int64)
+        # quantize the ORIGINAL per-cell values (re-quantizing decoded
+        # values is off by one at pixel boundaries)
+        cell_x = mminh.process_float_column(x[cell_index[b]], xcol)
+        q_expect = spec.quantize(cell_x, xcol.low, xcol.high, pixels)
+        np.testing.assert_array_equal(q_rec, q_expect)
+        i0 += m
+    r.close()
