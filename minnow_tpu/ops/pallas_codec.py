@@ -119,15 +119,15 @@ def _unpack_kernel(bits: int, w_ref, out_ref):
 def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
                interpret):
     steps = t // r
-    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (i, np.int32(0)),
                                memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, steps),
         in_specs=[pl.BlockSpec((r, bits),
-                               lambda i, j: (i * steps + j, 0))]
+                               lambda i, j: (i * np.int32(steps) + j, np.int32(0)))]
         + [scalar_spec] * n_scalars,
-        out_specs=pl.BlockSpec((r, 32), lambda i, j: (i * steps + j, 0)),
+        out_specs=pl.BlockSpec((r, 32), lambda i, j: (i * np.int32(steps) + j, np.int32(0))),
         out_shape=jax.ShapeDtypeStruct((b * t, 32), out_dtype),
         interpret=interpret,
     )

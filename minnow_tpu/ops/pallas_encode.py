@@ -266,13 +266,13 @@ def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
     out = pl.pallas_call(
         functools.partial(_encode_kernel, bits),
         grid=(bsz,),
-        in_specs=[pl.BlockSpec((t, 32), lambda i: (i, 0))]
-        + [scalar(lambda i: (i, 0))] * 7,
+        in_specs=[pl.BlockSpec((t, 32), lambda i: (i, np.int32(0)))]
+        + [scalar(lambda i: (i, np.int32(0)))] * 7,
         out_specs=[
-            pl.BlockSpec((t, bits), lambda i: (i, 0)),
-            scalar(lambda i: (i, 0)),
-            scalar(lambda i: (i, 0)),
-            scalar(lambda i: (i, 0)),
+            pl.BlockSpec((t, bits), lambda i: (i, np.int32(0))),
+            scalar(lambda i: (i, np.int32(0))),
+            scalar(lambda i: (i, np.int32(0))),
+            scalar(lambda i: (i, np.int32(0))),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz * t, bits), jnp.uint32),
