@@ -94,22 +94,24 @@ def _unpack_tile(w, bits: int):
 
 def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
                    dx_ref, pix_ref, per_ref, out_ref):
+    # per-block scalars live whole in SMEM, indexed by the block id
+    i = pl.program_id(0)
     q = _unpack_tile(w_ref[...], bits).astype(jnp.int32)  # (32, R)
-    q = q + mn_ref[0, 0]
-    p = pix_ref[0, 0]
-    per = per_ref[0, 0] != 0
+    q = q + mn_ref[i]
+    p = pix_ref[i]
+    per = per_ref[i] != 0
     qb = q + jnp.where(q < 0, p, 0)
     qb = qb - jnp.where(qb >= p, p, 0)
     q = jnp.where(per, qb, q)
     v = q.astype(jnp.float32)
     if dither == "midpoint":
         v = v + jnp.float32(0.5)
-    prod = dx_ref[0, 0] * v
+    prod = dx_ref[i] * v
     # block FMA contraction of dx*v + low (would break bit parity with
     # the spec): select on a runtime-unprovable predicate, as in
     # codec.dequantize24
     prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
-    out_ref[...] = (prod + low_ref[0, 0]).T  # (R, 32)
+    out_ref[...] = (prod + low_ref[i]).T  # (R, 32)
 
 
 def _unpack_kernel(bits: int, w_ref, out_ref):
@@ -119,15 +121,20 @@ def _unpack_kernel(bits: int, w_ref, out_ref):
 def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
                interpret):
     steps = t // r
-    scalar_spec = pl.BlockSpec((1, 1), lambda i, j: (i, np.int32(0)),
-                               memory_space=pltpu.SMEM)
+    # per-block scalars are whole (B,) SMEM arrays indexed in-kernel by
+    # program_id (blocked (1,1) SMEM specs fail the Mosaic divisibility
+    # check)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, steps),
         in_specs=[pl.BlockSpec((r, bits),
-                               lambda i, j: (i * np.int32(steps) + j, np.int32(0)))]
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0)))]
         + [scalar_spec] * n_scalars,
-        out_specs=pl.BlockSpec((r, 32), lambda i, j: (i * np.int32(steps) + j, np.int32(0))),
+        out_specs=pl.BlockSpec((r, 32),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0))),
         out_shape=jax.ShapeDtypeStruct((b * t, 32), out_dtype),
         interpret=interpret,
     )
@@ -172,11 +179,11 @@ def decode_float_pallas(words, mins, low, high, pixels, periodic,
         functools.partial(_decode_kernel, bits, dither),
         b, t, r, bits, 5, jnp.float32, interpret)
     out = call(w2d,
-               mins.astype(jnp.int32).reshape(b, 1),
-               low32.reshape(b, 1),
-               dx.reshape(b, 1),
-               pixels.astype(jnp.int32).reshape(b, 1),
-               periodic.astype(jnp.int32).reshape(b, 1))
+               mins.astype(jnp.int32),
+               low32,
+               dx,
+               pixels.astype(jnp.int32),
+               periodic.astype(jnp.int32))
     return out.reshape(b, t * 32)[:, :n]
 
 

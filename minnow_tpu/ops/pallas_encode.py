@@ -201,14 +201,16 @@ def _pack_tile(deltas_t, bits: int):
 def _encode_kernel(bits: int, x_ref, low_ref, b_ref, eb_ref, m0_ref,
                    m1_ref, pix_ref, per_ref, w_ref, mn_ref, maxd_ref,
                    valid_ref):
+    # per-block scalars live whole in SMEM, indexed by the block id
+    i = pl.program_id(0)
     x = x_ref[...]                       # (t, 32) f32
-    diff = x - low_ref[0, 0]             # f32 sub, exact per spec
-    q, exact = _quantize_limb(diff, b_ref[0, 0], eb_ref[0, 0],
-                              m0_ref[0, 0], m1_ref[0, 0])
+    diff = x - low_ref[i]                # f32 sub, exact per spec
+    q, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
+                              m0_ref[i], m1_ref[i])
     # bool reductions as i32 min (Mosaic-safe)
     all_exact = jnp.min(exact.astype(jnp.int32)) == 1
 
-    p = pix_ref[0, 0]
+    p = pix_ref[i]
     in_range = jnp.min(((q >= 0) & (q < p)).astype(jnp.int32)) == 1
 
     # one-pass periodic recentering (spec.periodic_min_fast)
@@ -221,7 +223,7 @@ def _encode_kernel(bits: int, x_ref, low_ref, b_ref, eb_ref, m0_ref,
     m = jnp.where(m < 0, m + p, m)
     m = jnp.where(wwin > p // 2, 0, m)
 
-    per = per_ref[0, 0] != 0
+    per = per_ref[i] != 0
     qb = q + jnp.where(q < m, p, 0)
     qb = qb - jnp.where(qb >= m + p, p, 0)
     q = jnp.where(per, qb, q)
@@ -231,9 +233,9 @@ def _encode_kernel(bits: int, x_ref, low_ref, b_ref, eb_ref, m0_ref,
     maxd = jnp.max(jax.lax.bitcast_convert_type(deltas, jnp.int32))
 
     w_ref[...] = _pack_tile(deltas.T, bits)   # (t, bits)
-    mn_ref[0, 0] = mn
-    maxd_ref[0, 0] = maxd
-    valid_ref[0, 0] = ((in_range | ~per) & all_exact).astype(jnp.int32)
+    mn_ref[i] = mn
+    maxd_ref[i] = maxd
+    valid_ref[i] = ((in_range | ~per) & all_exact).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret"))
@@ -257,38 +259,39 @@ def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
     steps = t // r
 
     x2d = x[:, :n].reshape(bsz * t, 32)
-    scalar = functools.partial(pl.BlockSpec, (1, 1),
-                               memory_space=pltpu.SMEM)
+    # per-block scalars whole in SMEM (blocked (1,1) SMEM specs fail
+    # the Mosaic divisibility check); kernel indexes by program_id
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # one whole block per grid row: grid = (B,), r rows per step would
+    # one whole block per grid row: grid = (B,) -- r rows per step would
     # split the min/max reductions, so the kernel takes the full (t, 32)
     # block (VMEM: t*32*4B * ~4 intermediates; t <= 8192 fits)
     out = pl.pallas_call(
         functools.partial(_encode_kernel, bits),
         grid=(bsz,),
         in_specs=[pl.BlockSpec((t, 32), lambda i: (i, np.int32(0)))]
-        + [scalar(lambda i: (i, np.int32(0)))] * 7,
+        + [scalar] * 7,
         out_specs=[
             pl.BlockSpec((t, bits), lambda i: (i, np.int32(0))),
-            scalar(lambda i: (i, np.int32(0))),
-            scalar(lambda i: (i, np.int32(0))),
-            scalar(lambda i: (i, np.int32(0))),
+            scalar,
+            scalar,
+            scalar,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz * t, bits), jnp.uint32),
-            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
-            jax.ShapeDtypeStruct((bsz, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bsz,), jnp.int32),
+            jax.ShapeDtypeStruct((bsz,), jnp.int32),
+            jax.ShapeDtypeStruct((bsz,), jnp.int32),
         ],
         interpret=interpret,
     )(x2d,
-      low.astype(jnp.float32).reshape(bsz, 1),
-      b.astype(jnp.uint32).reshape(bsz, 1),
-      eb.astype(jnp.int32).reshape(bsz, 1),
-      m0.astype(jnp.uint32).reshape(bsz, 1),
-      m1.astype(jnp.uint32).reshape(bsz, 1),
-      pixels.astype(jnp.int32).reshape(bsz, 1),
-      periodic.astype(jnp.int32).reshape(bsz, 1))
+      low.astype(jnp.float32),
+      b.astype(jnp.uint32),
+      eb.astype(jnp.int32),
+      m0.astype(jnp.uint32),
+      m1.astype(jnp.uint32),
+      pixels.astype(jnp.int32),
+      periodic.astype(jnp.int32))
     words, mins, maxd, valid = out
-    return (words.reshape(bsz, t * bits), mins[:, 0].astype(jnp.int64),
-            maxd[:, 0].astype(jnp.int64), valid[:, 0] != 0)
+    return (words.reshape(bsz, t * bits), mins.astype(jnp.int64),
+            maxd.astype(jnp.int64), valid != 0)
