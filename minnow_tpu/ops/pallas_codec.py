@@ -88,7 +88,7 @@ def _unpack_tile(w, bits: int):
     s_c = ((j * bits) & 31).astype(jnp.uint32)
     s2_c = ((32 - ((j * bits) & 31)) & 31).astype(jnp.uint32)
     out = a >> s_c
-    out = out | jnp.where(s_c > 0, b << s2_c, jnp.uint32(0))
+    out = out | jnp.where(s_c > jnp.uint32(0), b << s2_c, jnp.uint32(0))
     return out & mask
 
 
@@ -100,8 +100,11 @@ def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
     q = q + mn_ref[i]
     p = pix_ref[i]
     per = per_ref[i] != 0
-    qb = q + jnp.where(q < 0, p, 0)
-    qb = qb - jnp.where(qb >= p, p, 0)
+    # literals explicitly typed: weak-typed ints inside Mosaic kernels
+    # recurse during lowering (round-1 jnp.mod finding, same class)
+    zero = jnp.int32(0)
+    qb = q + jnp.where(q < zero, p, zero)
+    qb = qb - jnp.where(qb >= p, p, zero)
     q = jnp.where(per, qb, q)
     v = q.astype(jnp.float32)
     if dither == "midpoint":

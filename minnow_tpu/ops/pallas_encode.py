@@ -91,20 +91,22 @@ def _quantize_limb(diff, b, eb, m0, m1):
     semantics as fastdiv.quantize_fast(out32=True)."""
     bits_ = jax.lax.bitcast_convert_type(diff, jnp.uint32)
     sign = bits_ >> np.uint32(31)
-    e_raw = ((bits_ >> np.uint32(23)) & np.uint32(0xFF)).astype(jnp.int32)
+    e_raw = ((bits_ >> np.uint32(23))
+             & np.uint32(0xFF)).astype(jnp.int32)
     m_raw = bits_ & np.uint32(0x7FFFFF)
     is_zero = (bits_ & np.uint32(0x7FFFFFFF)) == 0
-    invalid = e_raw == 255
+    invalid = e_raw == jnp.int32(255)
 
     # subnormal renormalization: exact msb via f32 conversion
     safe_m = jnp.maximum(m_raw, np.uint32(1)).astype(jnp.int32)
     msb = (jax.lax.bitcast_convert_type(
         safe_m.astype(jnp.float32), jnp.uint32)
-        >> np.uint32(23)).astype(jnp.int32) - 127
-    shn = (23 - msb).astype(jnp.uint32)
-    subn = e_raw == 0
+        >> np.uint32(23)).astype(jnp.int32) - jnp.int32(127)
+    shn = (jnp.int32(23) - msb).astype(jnp.uint32)
+    subn = e_raw == jnp.int32(0)
     a = jnp.where(subn, m_raw << shn, m_raw | np.uint32(1 << 23))
-    ea = jnp.where(subn, -149 - shn.astype(jnp.int32), e_raw - 150)
+    ea = jnp.where(subn, jnp.int32(-149) - shn.astype(jnp.int32),
+                   e_raw - jnp.int32(150))
 
     t = (a < b).astype(jnp.int32)
     # q24 = ((a*m0 >> 32) + a*m1) >> (40 - s), s = 23 + t
@@ -123,29 +125,31 @@ def _quantize_limb(diff, b, eb, m0, m1):
     rem = n_lo - p_lo                             # exact (< 2^24)
 
     r2 = rem << np.uint32(1)
-    up = (r2 > b) | ((r2 == b) & ((q24 & np.uint32(1)) == 1))
+    up = (r2 > b) | ((r2 == b) & ((q24 & np.uint32(1)) == np.uint32(1)))
     m_mant = q24 + up.astype(jnp.uint32)
     e_z = ea - eb - t
     ovf = m_mant == np.uint32(1 << 24)
     m_mant = jnp.where(ovf, np.uint32(1 << 23), m_mant)
     e_z = e_z + ovf.astype(jnp.int32)
 
-    invalid = invalid | (e_z >= 30) | (e_z < -120)
+    invalid = invalid | (e_z >= jnp.int32(30)) | (e_z < jnp.int32(-120))
 
     # floor(+-m_mant * 2^(e_z - 23)) with u32-safe shift amounts
-    big = e_z >= 23
-    up_sh = jnp.clip(e_z - 23, 0, 30).astype(jnp.uint32)
-    dn_raw = jnp.clip(23 - e_z, 0, 31 + 120 + 23)
-    dn_sh = jnp.minimum(dn_raw, 31).astype(jnp.uint32)
-    hi_zero = dn_raw >= 24                        # m_mant < 2^24
+    big = e_z >= jnp.int32(23)
+    up_sh = jnp.clip(e_z - jnp.int32(23), jnp.int32(0),
+                     jnp.int32(30)).astype(jnp.uint32)
+    dn_raw = jnp.clip(jnp.int32(23) - e_z, jnp.int32(0),
+                      jnp.int32(31 + 120 + 23))
+    dn_sh = jnp.minimum(dn_raw, jnp.int32(31)).astype(jnp.uint32)
+    hi_zero = dn_raw >= jnp.int32(24)             # m_mant < 2^24
     q_mag = jnp.where(big, m_mant << up_sh,
                       jnp.where(hi_zero, np.uint32(0), m_mant >> dn_sh))
     frac_mask = (np.uint32(1) << dn_sh) - np.uint32(1)
-    frac = (~big) & jnp.where(hi_zero, m_mant != 0,
-                              (m_mant & frac_mask) != 0)
+    frac = (~big) & jnp.where(hi_zero, m_mant != np.uint32(0),
+                              (m_mant & frac_mask) != np.uint32(0))
     q_val = jnp.where(sign == 0, q_mag.astype(jnp.int32),
                       -(q_mag.astype(jnp.int32)) - frac.astype(jnp.int32))
-    q_val = jnp.where(is_zero, 0, q_val)
+    q_val = jnp.where(is_zero, jnp.int32(0), q_val)
     return q_val, is_zero | ~invalid
 
 
@@ -157,7 +161,7 @@ def _quantize_limb(diff, b, eb, m0, m1):
 def _periodic_distance(x, x0, p):
     d = x - x0
     return jnp.where(
-        d >= 0,
+        d >= jnp.int32(0),
         jnp.where(d > p - d, d - p, d),
         jnp.where(d < -(d + p), p + d, d))
 
@@ -175,7 +179,7 @@ def _pack_tile(deltas_t, bits: int):
 
     xm = deltas_t & mask
     part_lo = xm << s
-    part_sp = jnp.where(s > 0, xm >> s2, jnp.uint32(0))
+    part_sp = jnp.where(s > jnp.uint32(0), xm >> s2, jnp.uint32(0))
 
     # Mosaic lacks unsigned reductions; int32 addition is bitwise equal
     bc = jax.lax.bitcast_convert_type
@@ -208,24 +212,26 @@ def _encode_kernel(bits: int, x_ref, low_ref, b_ref, eb_ref, m0_ref,
     q, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
                               m0_ref[i], m1_ref[i])
     # bool reductions as i32 min (Mosaic-safe)
-    all_exact = jnp.min(exact.astype(jnp.int32)) == 1
+    all_exact = jnp.min(exact.astype(jnp.int32)) == jnp.int32(1)
 
     p = pix_ref[i]
-    in_range = jnp.min(((q >= 0) & (q < p)).astype(jnp.int32)) == 1
+    in_range = jnp.min(((q >= jnp.int32(0)) & (q < p))
+                       .astype(jnp.int32)) == jnp.int32(1)
 
     # one-pass periodic recentering (spec.periodic_min_fast)
+    zero = jnp.int32(0)
     x0 = q[0, 0]
     y = _periodic_distance(q, x0, p)
     ymin = jnp.min(y)
     ymax = jnp.max(y)
-    wwin = ymax - ymin + 1
+    wwin = ymax - ymin + jnp.int32(1)
     m = x0 + ymin
-    m = jnp.where(m < 0, m + p, m)
-    m = jnp.where(wwin > p // 2, 0, m)
+    m = jnp.where(m < zero, m + p, m)
+    m = jnp.where(wwin > p // jnp.int32(2), zero, m)
 
-    per = per_ref[i] != 0
-    qb = q + jnp.where(q < m, p, 0)
-    qb = qb - jnp.where(qb >= m + p, p, 0)
+    per = per_ref[i] != zero
+    qb = q + jnp.where(q < m, p, zero)
+    qb = qb - jnp.where(qb >= m + p, p, zero)
     q = jnp.where(per, qb, q)
 
     mn = jnp.min(q)
