@@ -126,8 +126,10 @@ def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
     steps = t // r
     # per-block scalars are whole (B,) SMEM arrays indexed in-kernel by
     # program_id (blocked (1,1) SMEM specs fail the Mosaic divisibility
-    # check)
-    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # check); the index map must be explicit and int32 -- the default
+    # map's literal zeros trace as i64 under x64, which Mosaic rejects
+    scalar_spec = pl.BlockSpec((b,), lambda i, j: (np.int32(0),),
+                               memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(b, steps),

@@ -266,8 +266,11 @@ def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
 
     x2d = x[:, :n].reshape(bsz * t, 32)
     # per-block scalars whole in SMEM (blocked (1,1) SMEM specs fail
-    # the Mosaic divisibility check); kernel indexes by program_id
-    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # the Mosaic divisibility check); kernel indexes by program_id.
+    # Explicit int32 index map: the default map's literal zeros trace
+    # as i64 under x64, which Mosaic rejects.
+    scalar = pl.BlockSpec((bsz,), lambda i: (np.int32(0),),
+                          memory_space=pltpu.SMEM)
 
     # one whole block per grid row: grid = (B,) -- r rows per step would
     # split the min/max reductions, so the kernel takes the full (t, 32)
