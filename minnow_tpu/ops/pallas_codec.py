@@ -92,14 +92,31 @@ def _unpack_tile(w, bits: int):
     return out & mask
 
 
-def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
-                   dx_ref, pix_ref, per_ref, out_ref):
-    # per-block scalars live whole in SMEM, indexed by the block id
-    i = pl.program_id(0)
-    q = _unpack_tile(w_ref[...], bits).astype(jnp.int32)  # (32, R)
+def _unpack_tile_lane(w, bits: int):
+    """(R, bits) words -> (R, 32) u32 values with NO transposes: per
+    output element j, static lane-column extracts + python-constant
+    shifts.  Compute runs at 32/128 lane occupancy, but the op count per
+    element is tiny; trades occupancy for transpose-free data flow."""
+    s, w1, w2, s2 = _row_shifts(bits)
+    mask = np.uint32((1 << bits) - 1) if bits < 32 \
+        else np.uint32(0xFFFFFFFF)
+    cols = []
+    for j in range(32):
+        a = w[:, int(w1[j]):int(w1[j]) + 1]
+        out = a >> np.uint32(s[j])
+        if s[j] > 0:
+            bcol = w[:, int(w2[j]):int(w2[j]) + 1]
+            out = out | (bcol << np.uint32(s2[j]))
+        cols.append(out & mask)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
+                 per_ref):
+    """Shared decode tail on int32 q (any layout)."""
     q = q + mn_ref[i]
     p = pix_ref[i]
-    per = per_ref[i] != 0
+    per = per_ref[i] != jnp.int32(0)
     # literals explicitly typed: weak-typed ints inside Mosaic kernels
     # recurse during lowering (round-1 jnp.mod finding, same class)
     zero = jnp.int32(0)
@@ -114,11 +131,33 @@ def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
     # the spec): select on a runtime-unprovable predicate, as in
     # codec.dequantize24
     prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
-    out_ref[...] = (prod + low_ref[i]).T  # (R, 32)
+    return prod + low_ref[i]
+
+
+def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
+                   dx_ref, pix_ref, per_ref, out_ref):
+    # per-block scalars live whole in SMEM, indexed by the block id
+    i = pl.program_id(0)
+    q = _unpack_tile(w_ref[...], bits).astype(jnp.int32)  # (32, R)
+    out = _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
+                       per_ref)
+    out_ref[...] = out.T  # (R, 32)
+
+
+def _decode_kernel_lane(bits: int, dither: str, w_ref, mn_ref, low_ref,
+                        dx_ref, pix_ref, per_ref, out_ref):
+    i = pl.program_id(0)
+    q = _unpack_tile_lane(w_ref[...], bits).astype(jnp.int32)  # (R, 32)
+    out_ref[...] = _decode_body(q, i, dither, mn_ref, low_ref, dx_ref,
+                                pix_ref, per_ref)
 
 
 def _unpack_kernel(bits: int, w_ref, out_ref):
     out_ref[...] = _unpack_tile(w_ref[...], bits).T  # (R, 32)
+
+
+def _unpack_kernel_lane(bits: int, w_ref, out_ref):
+    out_ref[...] = _unpack_tile_lane(w_ref[...], bits)
 
 
 def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
@@ -155,10 +194,12 @@ def _pick_r(t: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "dither",
-                                             "interpret"))
+                                             "interpret", "layout",
+                                             "rows"))
 def decode_float_pallas(words, mins, low, high, pixels, periodic,
                         bits: int, n: int, dither: str = "none",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        layout: str = "sublane", rows: int = 0):
     """Fused decode of (B, W) packed words -> (B, n) float32.
 
     ``mins``/``low``/``high``/``pixels`` are (B,) per-block arrays;
@@ -179,9 +220,12 @@ def decode_float_pallas(words, mins, low, high, pixels, periodic,
     dx = _codec._dx64(low32, high.astype(jnp.float32),
                       pixels).astype(jnp.float32)
 
+    if rows:
+        r = rows
     w2d = words[:, :t * bits].reshape(b * t, bits)
+    kern = _decode_kernel if layout == "sublane" else _decode_kernel_lane
     call = _grid_call(
-        functools.partial(_decode_kernel, bits, dither),
+        functools.partial(kern, bits, dither),
         b, t, r, bits, 5, jnp.float32, interpret)
     out = call(w2d,
                mins.astype(jnp.int32),
@@ -192,14 +236,19 @@ def decode_float_pallas(words, mins, low, high, pixels, periodic,
     return out.reshape(b, t * 32)[:, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret"))
-def unpack_pallas(words, bits: int, n: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "layout", "rows"))
+def unpack_pallas(words, bits: int, n: int, interpret: bool = False,
+                  layout: str = "sublane", rows: int = 0):
     """(B, W) packed words -> (B, n) uint32 raw values (the Pallas twin
     of bitpack.unpack_batch32, for byte-level validation)."""
     b = words.shape[0]
     t = n // 32
     r = _pick_r(t)
+    if rows:
+        r = rows
     w2d = words[:, :t * bits].reshape(b * t, bits)
-    call = _grid_call(functools.partial(_unpack_kernel, bits),
+    kern = _unpack_kernel if layout == "sublane" else _unpack_kernel_lane
+    call = _grid_call(functools.partial(kern, bits),
                       b, t, r, bits, 0, jnp.uint32, interpret)
     return call(w2d).reshape(b, t * 32)[:, :n]

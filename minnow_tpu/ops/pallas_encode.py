@@ -145,10 +145,15 @@ def _quantize_limb(diff, b, eb, m0, m1):
     q_mag = jnp.where(big, m_mant << up_sh,
                       jnp.where(hi_zero, np.uint32(0), m_mant >> dn_sh))
     frac_mask = (np.uint32(1) << dn_sh) - np.uint32(1)
-    frac = (~big) & jnp.where(hi_zero, m_mant != np.uint32(0),
-                              (m_mant & frac_mask) != np.uint32(0))
-    q_val = jnp.where(sign == 0, q_mag.astype(jnp.int32),
-                      -(q_mag.astype(jnp.int32)) - frac.astype(jnp.int32))
+    # frac as an i32 0/1 select: Mosaic cannot select_n on i1 vectors
+    # ("Unsupported target bitwidth for truncation")
+    frac_nz = jnp.where(
+        hi_zero,
+        (m_mant != np.uint32(0)).astype(jnp.int32),
+        ((m_mant & frac_mask) != np.uint32(0)).astype(jnp.int32))
+    frac = jnp.where(big, jnp.int32(0), frac_nz)
+    q_val = jnp.where(sign == np.uint32(0), q_mag.astype(jnp.int32),
+                      -(q_mag.astype(jnp.int32)) - frac)
     q_val = jnp.where(is_zero, jnp.int32(0), q_val)
     return q_val, is_zero | ~invalid
 
