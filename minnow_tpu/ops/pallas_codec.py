@@ -169,6 +169,12 @@ def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
     # map's literal zeros trace as i64 under x64, which Mosaic rejects
     scalar_spec = pl.BlockSpec((b,), lambda i, j: (np.int32(0),),
                                memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        # both grid dims are embarrassingly parallel; lets Mosaic
+        # pipeline/parallelize instances instead of strict sequencing
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
     return pl.pallas_call(
         kernel,
         grid=(b, steps),
@@ -181,6 +187,7 @@ def _grid_call(kernel, b, t, r, bits, n_scalars, out_dtype,
                                              np.int32(0))),
         out_shape=jax.ShapeDtypeStruct((b * t, 32), out_dtype),
         interpret=interpret,
+        **kwargs,
     )
 
 

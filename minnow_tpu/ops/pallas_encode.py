@@ -97,8 +97,11 @@ def _quantize_limb(diff, b, eb, m0, m1):
     is_zero = (bits_ & np.uint32(0x7FFFFFFF)) == 0
     invalid = e_raw == jnp.int32(255)
 
-    # subnormal renormalization: exact msb via f32 conversion
-    safe_m = jnp.maximum(m_raw, np.uint32(1)).astype(jnp.int32)
+    # subnormal renormalization: exact msb via f32 conversion.
+    # max in int32 -- Mosaic has no arith.maxui; m_raw < 2^23 is
+    # sign-safe
+    safe_m = jnp.maximum(
+        jax.lax.bitcast_convert_type(m_raw, jnp.int32), jnp.int32(1))
     msb = (jax.lax.bitcast_convert_type(
         safe_m.astype(jnp.float32), jnp.uint32)
         >> np.uint32(23)).astype(jnp.int32) - jnp.int32(127)

@@ -324,3 +324,69 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def _variant_staged():
+    """Two explicitly materialized XLA stages: (1) the (B,t,bits) ->
+    (B,bits,t) transpose alone, (2) gather+shift+mask fused.  The
+    one-dispatch XLA graph fuses these badly (34 GB/s vs 88-GB/s
+    transpose + 414-GB/s gather when measured separately); the barrier
+    forces the fast schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = np.minimum(offs // 32, BITS - 1)
+    w2 = np.minimum(offs // 32 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        wt = w.reshape(b, t, BITS).transpose(0, 2, 1)
+        wt = jax.lax.optimization_barrier(wt)  # materialize stage 1
+        a = wt[:, w1, :]  # (B, 32, t)
+        c = wt[:, w2, :]
+        out = a >> s[None, :, None]
+        out = out | jnp.where((s > 0)[None, :, None],
+                              c << s2[None, :, None], jnp.uint32(0))
+        out = (out & mask).transpose(0, 2, 1).reshape(b, t * 32)
+        return out[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def _variant_staged3():
+    """Three stages: transpose | gather+shift -> (B,32,t) | transpose
+    back -- every stage materialized, none fused with another."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = np.minimum(offs // 32, BITS - 1)
+    w2 = np.minimum(offs // 32 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        wt = w.reshape(b, t, BITS).transpose(0, 2, 1)
+        wt = jax.lax.optimization_barrier(wt)
+        a = wt[:, w1, :]
+        c = wt[:, w2, :]
+        out = a >> s[None, :, None]
+        out = out | jnp.where((s > 0)[None, :, None],
+                              c << s2[None, :, None], jnp.uint32(0))
+        out = out & mask
+        out = jax.lax.optimization_barrier(out)
+        return out.transpose(0, 2, 1).reshape(b, t * 32)[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+VARIANTS["v4_staged"] = _variant_staged
+VARIANTS["v5_staged3"] = _variant_staged3
