@@ -322,10 +322,6 @@ def main():
     print(json.dumps(out), flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _variant_staged():
     """Two explicitly materialized XLA stages: (1) the (B,t,bits) ->
     (B,bits,t) transpose alone, (2) gather+shift+mask fused.  The
@@ -390,3 +386,7 @@ def _variant_staged3():
 
 VARIANTS["v4_staged"] = _variant_staged
 VARIANTS["v5_staged3"] = _variant_staged3
+
+
+if __name__ == "__main__":
+    main()
