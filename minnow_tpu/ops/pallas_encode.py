@@ -210,17 +210,28 @@ def _pack_tile(deltas_t, bits: int):
     return words.T  # (t, bits)
 
 
-def _encode_kernel(bits: int, x_ref, low_ref, b_ref, eb_ref, m0_ref,
-                   m1_ref, pix_ref, per_ref, w_ref, mn_ref, maxd_ref,
-                   valid_ref):
+def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
+                   eb_ref, m0_ref, m1_ref, pix_ref, per_ref, w_ref,
+                   mn_ref, maxd_ref, valid_ref, q_scr):
     # per-block scalars live whole in SMEM, indexed by the block id
     i = pl.program_id(0)
-    x = x_ref[...]                       # (t, 32) f32
-    diff = x - low_ref[i]                # f32 sub, exact per spec
-    q, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
-                              m0_ref[i], m1_ref[i])
-    # bool reductions as i32 min (Mosaic-safe)
-    all_exact = jnp.min(exact.astype(jnp.int32)) == jnp.int32(1)
+    t = x_ref.shape[0]
+
+    # quantize in row-chunks through a VMEM scratch: the limb quantizer
+    # has ~40 live temporaries, so quantizing the whole (t, 32) block at
+    # once blows the 16 MB scoped-VMEM stack for t >= 4096
+    def body(c, ex_carry):
+        xc = x_ref[pl.ds(c * chunk, chunk), :]
+        diff = xc - low_ref[i]           # f32 sub, exact per spec
+        qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
+                                   m0_ref[i], m1_ref[i])
+        q_scr[pl.ds(c * chunk, chunk), :] = qc
+        # bool reductions as i32 min (Mosaic-safe)
+        return jnp.minimum(ex_carry,
+                           jnp.min(exact.astype(jnp.int32)))
+    ex_min = jax.lax.fori_loop(0, t // chunk, body, jnp.int32(1))
+    all_exact = ex_min == jnp.int32(1)
+    q = q_scr[...]                       # (t, 32) i32
 
     p = pix_ref[i]
     in_range = jnp.min(((q >= jnp.int32(0)) & (q < p))
@@ -280,11 +291,12 @@ def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
     scalar = pl.BlockSpec((bsz,), lambda i: (np.int32(0),),
                           memory_space=pltpu.SMEM)
 
-    # one whole block per grid row: grid = (B,) -- r rows per step would
-    # split the min/max reductions, so the kernel takes the full (t, 32)
-    # block (VMEM: t*32*4B * ~4 intermediates; t <= 8192 fits)
+    chunk = min(t, 256)
+
+    # one whole block per grid row: grid = (B,) -- splitting rows across
+    # grid steps would split the min/max reductions
     out = pl.pallas_call(
-        functools.partial(_encode_kernel, bits),
+        functools.partial(_encode_kernel, bits, chunk),
         grid=(bsz,),
         in_specs=[pl.BlockSpec((t, 32), lambda i: (i, np.int32(0)))]
         + [scalar] * 7,
@@ -300,6 +312,7 @@ def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
             jax.ShapeDtypeStruct((bsz,), jnp.int32),
             jax.ShapeDtypeStruct((bsz,), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((t, 32), jnp.int32)],
         interpret=interpret,
     )(x2d,
       low.astype(jnp.float32),
