@@ -74,11 +74,16 @@ def _expand_rows(wt, idx):
 
 
 def _unpack_tile(w, bits: int):
-    """(R, bits) words -> (32, R) u32 element values."""
+    """(R, bits) or padded (R, 32) words -> (32, R) u32 element values.
+
+    The padded form exists because Mosaic's in-VMEM transpose is fast
+    only for sublane-aligned minor dims: (R, 32) transposes cheaply,
+    (R, 18) does not; garbage pad rows are never referenced by the
+    expansion (w1/w2 < bits)."""
     s, w1, w2, s2 = _row_shifts(bits)
     mask = np.uint32((1 << bits) - 1) if bits < 32 \
         else np.uint32(0xFFFFFFFF)
-    wt = w.T  # (bits, R) -- in-VMEM transpose
+    wt = w.T  # (bits|32, R) -- in-VMEM transpose
     a = _expand_rows(wt, w1)
     b = _expand_rows(wt, w2)
     # shift vectors built in-kernel (kernels cannot capture array
@@ -142,6 +147,15 @@ def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
     out = _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
                        per_ref)
     out_ref[...] = out.T  # (R, 32)
+
+
+def _decode_kernel_pad32(bits: int, dither: str, w_ref, mn_ref,
+                         low_ref, dx_ref, pix_ref, per_ref, out_ref):
+    i = pl.program_id(0)
+    q = _unpack_tile(w_ref[...], bits).astype(jnp.int32)  # (32, R)
+    out = _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
+                       per_ref)
+    out_ref[...] = out.T
 
 
 def _decode_kernel_lane(bits: int, dither: str, w_ref, mn_ref, low_ref,
@@ -229,6 +243,22 @@ def decode_float_pallas(words, mins, low, high, pixels, periodic,
 
     if rows:
         r = rows
+    if layout == "pad32":
+        # pad words to 32/tile so the in-VMEM transposes are
+        # sublane-aligned (one streaming-speed XLA pad pass)
+        wp = jnp.pad(words[:, :t * bits].reshape(b, t, bits),
+                     ((0, 0), (0, 0), (0, 32 - bits)))
+        w2d = wp.reshape(b * t, 32)
+        call = _grid_call(
+            functools.partial(_decode_kernel_pad32, bits, dither),
+            b, t, r, 32, 5, jnp.float32, interpret)
+        out = call(w2d,
+                   mins.astype(jnp.int32),
+                   low32,
+                   dx,
+                   pixels.astype(jnp.int32),
+                   periodic.astype(jnp.int32))
+        return out.reshape(b, t * 32)[:, :n]
     w2d = words[:, :t * bits].reshape(b * t, bits)
     kern = _decode_kernel if layout == "sublane" else _decode_kernel_lane
     call = _grid_call(

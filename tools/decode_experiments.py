@@ -388,5 +388,55 @@ VARIANTS["v4_staged"] = _variant_staged
 VARIANTS["v5_staged3"] = _variant_staged3
 
 
+def _variant_twodispatch():
+    """Two SEPARATE jit dispatches: the transpose alone, then the
+    gather+shift fused -- optimization_barrier does not stop XLA fusion
+    (round-1 finding), so real dispatch boundaries are the only way to
+    force the 88 + 414 GB/s schedule measured for the isolated stages."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = np.minimum(offs // 32, BITS - 1)
+    w2 = np.minimum(offs // 32 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    @jax.jit
+    def stage1(w):
+        b, wn = w.shape
+        t = wn // BITS
+        return w.reshape(b, t, BITS).transpose(0, 2, 1)
+
+    @functools_partial_jit
+    def stage2(wt, n):
+        b = wt.shape[0]
+        t = wt.shape[2]
+        a = wt[:, w1, :]
+        c = wt[:, w2, :]
+        out = a >> s[None, :, None]
+        out = out | jnp.where((s > 0)[None, :, None],
+                              c << s2[None, :, None], jnp.uint32(0))
+        out = (out & mask).transpose(0, 2, 1).reshape(b, t * 32)
+        return out[:, :n]
+
+    def f(w, n):
+        return stage2(stage1(w), n)
+
+    return f
+
+
+def functools_partial_jit(fn):
+    import functools
+
+    import jax
+
+    return jax.jit(fn, static_argnames=("n",))
+
+
+VARIANTS["v6_twodispatch"] = _variant_twodispatch
+
+
 if __name__ == "__main__":
     main()

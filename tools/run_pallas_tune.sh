@@ -3,7 +3,7 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 LOG=tools/pallas_tune.log
-for cfg in "lane 2048" "lane 512" "sublane 512" "lane 8192"; do
+for cfg in "pad32 2048" "pad32 512"; do
     echo "=== decode_tune $cfg $(date +%H:%M:%S) ===" >> "$LOG"
     timeout 1500 python tools/pallas_decode_tune.py $cfg >> "$LOG" 2>&1
     echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
