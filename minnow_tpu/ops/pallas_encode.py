@@ -221,11 +221,11 @@ def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
     # has ~40 live temporaries, so quantizing the whole (t, 32) block at
     # once blows the 16 MB scoped-VMEM stack for t >= 4096
     def body(c, ex_carry):
-        xc = x_ref[pl.ds(c * chunk, chunk), :]
+        xc = x_ref[pl.ds(c * np.int32(chunk), chunk), :]
         diff = xc - low_ref[i]           # f32 sub, exact per spec
         qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
                                    m0_ref[i], m1_ref[i])
-        q_scr[pl.ds(c * chunk, chunk), :] = qc
+        q_scr[pl.ds(c * np.int32(chunk), chunk), :] = qc
         # bool reductions as i32 min (Mosaic-safe)
         return jnp.minimum(ex_carry,
                            jnp.min(exact.astype(jnp.int32)))
