@@ -41,8 +41,11 @@ __all__ = ["encode_float_pallas", "supported"]
 
 
 def supported(bits: int, n: int, pixels_max: int) -> bool:
+    # n cap: the kernel holds one whole block (x in, q scratch, words
+    # out) in VMEM -- t = n/32 <= 8192 keeps that under ~4 MB with
+    # double-buffered pipelining; bigger blocks use the XLA path
     return (0 < bits <= 30 and n % 32 == 0 and (n // 32) % 8 == 0
-            and pixels_max < (1 << 24))
+            and n <= (8192 * 32) and pixels_max < (1 << 24))
 
 
 # ---------------------------------------------------------------------------
@@ -216,50 +219,81 @@ def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
     # per-block scalars live whole in SMEM, indexed by the block id
     i = pl.program_id(0)
     t = x_ref.shape[0]
+    # int32 loop bounds everywhere: python-int bounds trace the
+    # induction var as i64 under x64, and the resulting in-kernel i64
+    # convert recurses in Mosaic lowering
+    steps = jnp.int32(t // chunk)
+    zero = jnp.int32(0)
+    p = pix_ref[i]
 
-    # quantize in row-chunks through a VMEM scratch: the limb quantizer
-    # has ~40 live temporaries, so quantizing the whole (t, 32) block at
-    # once blows the 16 MB scoped-VMEM stack for t >= 4096
-    def body(c, ex_carry):
+    # Every stage runs in row-chunks through the VMEM scratch: the limb
+    # quantizer has ~40 live temporaries and the pack another ~10, so
+    # whole-(t, 32)-block stages blow the 16 MB scoped-VMEM stack for
+    # t >= 4096 (measured on v5e).  VMEM re-reads of q_scr are free
+    # relative to the HBM traffic this kernel exists to save.
+
+    # pass 1: quantize -> scratch; exactness reduction (i32 min --
+    # Mosaic has no bool reductions)
+    def quant_body(c, ex_carry):
         xc = x_ref[pl.ds(c * np.int32(chunk), chunk), :]
         diff = xc - low_ref[i]           # f32 sub, exact per spec
         qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
                                    m0_ref[i], m1_ref[i])
         q_scr[pl.ds(c * np.int32(chunk), chunk), :] = qc
-        # bool reductions as i32 min (Mosaic-safe)
         return jnp.minimum(ex_carry,
                            jnp.min(exact.astype(jnp.int32)))
-    ex_min = jax.lax.fori_loop(0, t // chunk, body, jnp.int32(1))
+    ex_min = jax.lax.fori_loop(jnp.int32(0), steps, quant_body,
+                               jnp.int32(1))
     all_exact = ex_min == jnp.int32(1)
-    q = q_scr[...]                       # (t, 32) i32
 
-    p = pix_ref[i]
-    in_range = jnp.min(((q >= jnp.int32(0)) & (q < p))
-                       .astype(jnp.int32)) == jnp.int32(1)
+    # pass 2: periodic-distance stats vs q[0,0] + in-range check
+    # (spec.periodic_min_fast's one-pass reduction, chunked)
+    x0 = q_scr[0, 0]
 
-    # one-pass periodic recentering (spec.periodic_min_fast)
-    zero = jnp.int32(0)
-    x0 = q[0, 0]
-    y = _periodic_distance(q, x0, p)
-    ymin = jnp.min(y)
-    ymax = jnp.max(y)
+    def ystat_body(c, carry):
+        ymin_c, ymax_c, inr_c = carry
+        qc = q_scr[pl.ds(c * np.int32(chunk), chunk), :]
+        y = _periodic_distance(qc, x0, p)
+        inr = jnp.min(((qc >= zero) & (qc < p)).astype(jnp.int32))
+        return (jnp.minimum(ymin_c, jnp.min(y)),
+                jnp.maximum(ymax_c, jnp.max(y)),
+                jnp.minimum(inr_c, inr))
+    big = jnp.int32(0x7FFFFFFF)
+    ymin, ymax, inr_min = jax.lax.fori_loop(
+        jnp.int32(0), steps, ystat_body, (big, -big, jnp.int32(1)))
+    in_range = inr_min == jnp.int32(1)
+
     wwin = ymax - ymin + jnp.int32(1)
     m = x0 + ymin
     m = jnp.where(m < zero, m + p, m)
     m = jnp.where(wwin > p // jnp.int32(2), zero, m)
-
     per = per_ref[i] != zero
-    qb = q + jnp.where(q < m, p, zero)
-    qb = qb - jnp.where(qb >= m + p, p, zero)
-    q = jnp.where(per, qb, q)
 
-    mn = jnp.min(q)
-    deltas = jax.lax.bitcast_convert_type(q - mn, jnp.uint32)
-    maxd = jnp.max(jax.lax.bitcast_convert_type(deltas, jnp.int32))
+    def recenter(qc):
+        qb = qc + jnp.where(qc < m, p, zero)
+        qb = qb - jnp.where(qb >= m + p, p, zero)
+        return jnp.where(per, qb, qc)
 
-    w_ref[...] = _pack_tile(deltas.T, bits)   # (t, bits)
+    # pass 3: recentered min/max
+    def mstat_body(c, carry):
+        mn_c, mx_c = carry
+        qc = recenter(q_scr[pl.ds(c * np.int32(chunk), chunk), :])
+        return (jnp.minimum(mn_c, jnp.min(qc)),
+                jnp.maximum(mx_c, jnp.max(qc)))
+    mn, mx = jax.lax.fori_loop(jnp.int32(0), steps, mstat_body,
+                               (big, -big))
+
+    # pass 4: delta + pack, chunk rows of the output words
+    def pack_body(c, carry):
+        qc = recenter(q_scr[pl.ds(c * np.int32(chunk), chunk), :])
+        deltas = jax.lax.bitcast_convert_type(qc - mn, jnp.uint32)
+        w_ref[pl.ds(c * np.int32(chunk), chunk), :] = \
+            _pack_tile(deltas.T, bits)
+        return carry
+    jax.lax.fori_loop(jnp.int32(0), steps, pack_body, zero)
+
     mn_ref[i] = mn
-    maxd_ref[i] = maxd
+    maxd_ref[i] = mx - mn
     valid_ref[i] = ((in_range | ~per) & all_exact).astype(jnp.int32)
 
 

@@ -438,5 +438,119 @@ def functools_partial_jit(fn):
 VARIANTS["v6_twodispatch"] = _variant_twodispatch
 
 
+def _variant_stride():
+    """De-interleave via BITS strided lane slices of the FLAT words --
+    no (.., bits)-minor intermediate ever materializes (those get
+    lane-padded 128/bits in HBM, the suspected root cause of the 30
+    GB/s wall).  All intermediates are (B, t) or (B, 32, t) with a big
+    clean minor dim; the single final transpose+reshape to flat fuses
+    into one copy."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = np.minimum(offs // 32, BITS - 1)
+    w2 = np.minimum(offs // 32 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        rows = [jax.lax.slice(w, (0, k), (b, (t - 1) * BITS + k + 1),
+                              (1, BITS)) for k in range(BITS)]
+        outs = []
+        for j in range(32):
+            o = rows[int(w1[j])] >> s[j]
+            if s[j]:
+                o = o | (rows[int(w2[j])] << s2[j])
+            outs.append(o & mask)
+        q = jnp.stack(outs, axis=1)  # (B, 32, t)
+        return q.transpose(0, 2, 1).reshape(b, t * 32)[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def _variant_mxu():
+    """De-interleave on the MXU: words viewed as bytes, multiplied by a
+    banded (16*bits, 128) matrix of 2^{0,8,16} entries -- one bf16
+    non-overlapping conv (stride == window) whose channels-last output
+    is already in element order with a clean 128-lane minor dim.
+
+    Exactness: each output is byte0 + 256*byte1 + 65536*byte2 < 2^24;
+    every partial sum is a nonnegative integer below that, so bf16
+    (exact for 0..255 and for 2^k) inputs with f32 MXU accumulation are
+    bit-exact.  The element's value sits at bit (bits*lane)&7 of the
+    window (<= 6 for even bits <= 18), extracted by a per-lane static
+    shift in the epilogue.  No transposes, no gathers, no padded
+    layouts anywhere."""
+    import jax
+    import jax.numpy as jnp
+
+    cb = 16 * BITS  # bytes per 128-element chunk
+    g = np.zeros((cb, 128), np.float32)
+    for j in range(128):
+        c = (BITS * j) >> 3
+        for k in range(3):
+            g[c + k, j] = float(1 << (8 * k))
+    gb = jnp.asarray(g, jnp.bfloat16).reshape(cb, 1, 128)  # WIO
+    shift = jnp.asarray([(BITS * j) & 7 for j in range(128)], jnp.int32)
+    mask = jnp.int32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        nc = n // 128
+        bytes_ = jax.lax.bitcast_convert_type(
+            w, jnp.uint8).reshape(b, wn * 4)[:, :nc * cb]
+        xb = bytes_.astype(jnp.bfloat16)[..., None]  # (B, L, 1) NWC
+        q = jax.lax.conv_general_dilated(
+            xb, gb, window_strides=(cb,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32)  # (B, nc, 128) f32
+        qi = (q.astype(jnp.int32) >> shift[None, None, :]) & mask
+        return qi.reshape(b, nc * 128).astype(jnp.uint32)
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def _variant_mxu_dot():
+    """Same banded-matmul de-interleave as v8 but via an explicit
+    reshape + dot_general instead of a conv, to measure whether XLA's
+    conv lowering or the (.., 16*bits)-minor reshape is the better
+    route."""
+    import jax
+    import jax.numpy as jnp
+
+    cb = 16 * BITS
+    g = np.zeros((cb, 128), np.float32)
+    for j in range(128):
+        c = (BITS * j) >> 3
+        for k in range(3):
+            g[c + k, j] = float(1 << (8 * k))
+    gb = jnp.asarray(g, jnp.bfloat16)
+    shift = jnp.asarray([(BITS * j) & 7 for j in range(128)], jnp.int32)
+    mask = jnp.int32((1 << BITS) - 1)
+
+    def f(w, n):
+        b, wn = w.shape
+        nc = n // 128
+        bytes_ = jax.lax.bitcast_convert_type(
+            w, jnp.uint8).reshape(b, wn * 4)[:, :nc * cb]
+        xb = bytes_.reshape(b, nc, cb).astype(jnp.bfloat16)
+        q = jax.lax.dot_general(
+            xb, gb, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (B, nc, 128)
+        qi = (q.astype(jnp.int32) >> shift[None, None, :]) & mask
+        return qi.reshape(b, nc * 128).astype(jnp.uint32)
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+VARIANTS["v7_stride"] = _variant_stride
+VARIANTS["v8_mxu"] = _variant_mxu
+VARIANTS["v9_mxudot"] = _variant_mxu_dot
+
+
 if __name__ == "__main__":
     main()

@@ -80,9 +80,10 @@ def main():
         return
 
     # -- throughput --------------------------------------------------------
-    b = 64
+    # slope over BLOCK COUNT at fixed block size (the kernel holds one
+    # whole block in VMEM, so n is capped; total bytes scale via B)
 
-    def make(n):
+    def make(b, n):
         xb = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
         lowb = np.full(b, low, np.float32)
         pixb = np.full(b, pixels, np.int64)
@@ -95,7 +96,7 @@ def main():
                       (xb, lowb, bb, ebb, m0b, m1b, pixb, perb, lens)),
                 b * n * 4)
 
-    def run(n):
+    def run(b, n):
         def pallas_fn(xb, lowb, bb, ebb, m0b, m1b, pixb, perb, lens):
             return pallas_encode.encode_float_pallas(
                 xb, lowb, bb, ebb, m0b, m1b, pixb, perb, bits, n)
@@ -106,13 +107,14 @@ def main():
                 xb, lowb, pixb, lens, perb, bb, ebb, m0b, m1b)
             return bitpack.pack_batch(deltas, bits), mins
 
-        args, nbytes = make(n)
+        args, nbytes = make(b, n)
         tp = _time(pallas_fn, *args)
         tx = _time(xla_fn, *args)
         return tp, tx, nbytes
 
-    tp1, tx1, by1 = run(1 << 17)
-    tp2, tx2, by2 = run(1 << 21)
+    n_blk = 1 << 17
+    tp1, tx1, by1 = run(8, n_blk)
+    tp2, tx2, by2 = run(128, n_blk)
     out2 = {
         "pallas_slope_GBps": round((by2 - by1) / 1e9 / (tp2 - tp1), 3)
         if tp2 > tp1 else None,
