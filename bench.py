@@ -200,6 +200,58 @@ def bench_sustained(batches=16, b=64, n=1 << 20):
             "sustained_batches_in_flight": batches}
 
 
+def bench_pallas_encode(n=1 << 17, b1=8, b2=128):
+    """Fused Pallas encode kernel (the production BlockEncoder default
+    on TPU) vs the XLA two-pass path at the realistic many-blocks shape
+    (streamed ~128k-element minh blocks).  Slope over block count
+    cancels the dispatch floor."""
+    import jax
+
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, codec, fastdiv, pallas_encode
+
+    bits, low, high, dx = 18, 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    if not pallas_encode.supported(bits, n, pixels):
+        return {}
+    rng = np.random.default_rng(7)
+
+    def make(b):
+        x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+        lowb = np.full(b, low, np.float32)
+        pixb = np.full(b, pixels, np.int64)
+        perb = np.ones(b, bool)
+        lens = np.full(b, n, np.int64)
+        dxb = np.full(b, spec.quantize_dx(low, high, pixels), np.float32)
+        bb, ebb, m0b, m1b, okb = fastdiv.divisor_magic(dxb)
+        assert okb.all()
+        return (tuple(jax.device_put(a) for a in
+                      (x, lowb, bb, ebb, m0b, m1b, pixb, perb, lens)),
+                b * n * 4)
+
+    def pallas_fn(x, lowb, bb, ebb, m0b, m1b, pixb, perb, lens):
+        return pallas_encode.encode_float_pallas(
+            x, lowb, bb, ebb, m0b, m1b, pixb, perb, bits, n)
+
+    @jax.jit
+    def xla_fn(x, lowb, bb, ebb, m0b, m1b, pixb, perb, lens):
+        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
+            x, lowb, pixb, lens, perb, bb, ebb, m0b, m1b)
+        return bitpack.pack_batch(deltas, bits), mins
+
+    a1, by1 = make(b1)
+    a2, by2 = make(b2)
+    tp1, tp2 = _time(pallas_fn, *a1), _time(pallas_fn, *a2)
+    tx1, tx2 = _time(xla_fn, *a1), _time(xla_fn, *a2)
+    return {
+        "pallas_fused_encode_GBps": round(_safe_slope(by1, by2, tp1, tp2),
+                                          3),
+        "xla_encode_same_shape_GBps": round(
+            _safe_slope(by1, by2, tx1, tx2), 3),
+        "pallas_shape": "(%d->%d, %d)" % (b1, b2, n),
+    }
+
+
 def bench_extra_configs():
     """Secondary BASELINE.json configs: raw bit-pack round trip and the
     64-bit int-column (halo ID) path.  Slope-based like the headline."""
@@ -375,6 +427,10 @@ def main():
         detail.update(bench_sustained())
     except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
         detail["sustained_error"] = str(e)[:120]
+    try:
+        detail.update(bench_pallas_encode())
+    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
+        detail["pallas_encode_error"] = str(e)[:120]
     try:
         detail.update(bench_extra_configs())
     except Exception as e:  # noqa: BLE001 - secondary configs are best-effort

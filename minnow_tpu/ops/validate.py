@@ -169,6 +169,50 @@ def validate_pack(seed: int = 2) -> None:
             raise AssertionError("device unpack diverges at bits=%d" % bits)
 
 
+def validate_pallas_encode(seed: int = 4, interpret: bool = False) -> None:
+    """Fused Pallas encode kernel (ops/pallas_encode.py) == host spec,
+    byte for byte, on the actual backend (the production BlockEncoder
+    auto-selects this kernel on TPU).  Covers a periodic wrap cluster
+    and verifies the stats the fallback logic keys on."""
+    from . import bitpack, fastdiv, pallas_encode
+
+    rng = np.random.default_rng(seed)
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    bits, bsz, n = 18, 4, 4096
+    x = rng.uniform(0, 249.9, (bsz, n)).astype(np.float32)
+    wrap = np.concatenate([rng.uniform(0, 3, n // 2),
+                           250.0 - rng.uniform(0, 3, n - n // 2)])
+    x[2] = wrap.astype(np.float32)
+    lowv = np.full(bsz, low, np.float32)
+    pixv = np.full(bsz, pixels, np.int64)
+    per = np.ones(bsz, bool)
+    dxq = np.full(bsz, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+    words, mins, maxd, valid = (np.asarray(a) for a in
+                                pallas_encode.encode_float_pallas(
+        x, lowv, db, deb, dm0, dm1, pixv, per, bits, n,
+        interpret=interpret))
+    if not valid.all():
+        raise AssertionError("pallas encode failed to certify "
+                             "in-range blocks")
+    for i in range(bsz):
+        payload, mn, bts, _ = spec.encode_float_block(x[i], low, high,
+                                                      pixels)
+        if mins[i] != mn or spec.precision_needed(int(maxd[i])) != bts:
+            raise AssertionError(
+                "pallas encode stats diverge at block %d "
+                "(min %d want %d, bits %d want %d)"
+                % (i, mins[i], mn,
+                   spec.precision_needed(int(maxd[i])), bts))
+        if bts == bits and \
+                bitpack.words_to_bytes(words[i], bits, n) != payload:
+            raise AssertionError(
+                "pallas encode payload diverges from spec at block %d"
+                % i)
+
+
 def validate_backend() -> dict:
     """Run all exactness checks on the current default backend.  Returns a
     small report dict; raises AssertionError on any divergence."""
@@ -178,8 +222,15 @@ def validate_backend() -> dict:
     validate_quantize_fast()
     validate_dequantize()
     validate_pack()
-    return {
+    report = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "exact": True,
     }
+    if report["backend"] == "tpu":
+        # gate the fused encode kernel the production path auto-selects
+        # on this backend (CPU runs cover it in interpret mode via the
+        # test suite)
+        validate_pallas_encode()
+        report["pallas_encode"] = True
+    return report

@@ -69,10 +69,36 @@ class EncodedBlocks:
 
 
 class BlockEncoder:
-    """Device-sharded encoder/decoder for batches of minnow blocks."""
+    """Device-sharded encoder/decoder for batches of minnow blocks.
 
-    def __init__(self, mesh=None):
+    ``pallas`` selects the fused single-HBM-pass encode kernel
+    (ops/pallas_encode.py) for float blocks: ``"auto"`` (default) uses
+    it on the TPU backend when the shape qualifies and the mesh is
+    unset, ``True``/``False`` force it.  The env var
+    ``MINNOW_TPU_PALLAS_ENCODE=0|1`` overrides ``"auto"``.  Bytes are
+    identical either way: the kernel packs at the column's predicted
+    width and every block it cannot certify (or whose true width
+    differs) is re-encoded through the XLA/host path."""
+
+    def __init__(self, mesh=None, pallas="auto"):
         self.mesh = mesh
+        self.pallas = pallas
+
+    def _pallas_mode(self) -> bool:
+        if self.mesh is not None or self.pallas is False:
+            return False
+        if self.pallas is True:
+            return True
+        import os
+
+        env = os.environ.get("MINNOW_TPU_PALLAS_ENCODE", "")
+        if env == "0":
+            return False
+        if env == "1":
+            return True
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     # -- helpers -----------------------------------------------------------
 
@@ -156,7 +182,67 @@ class BlockEncoder:
         high = np.broadcast_to(np.asarray(high, np.float32), (b,)).copy()
         pixels = np.broadcast_to(np.asarray(pixels, np.int64), (b,)).copy()
         periodic = np.broadcast_to(np.asarray(periodic, bool), (b,)).copy()
+        if b and self._pallas_mode():
+            out = self._encode_float_pallas(x, b, n, low, high, pixels,
+                                            lens, periodic, clamp_q)
+            if out is not None:
+                return out
+        return self._encode_float_xla(x, b, n, low, high, pixels, lens,
+                                      periodic, clamp_q)
 
+    def _encode_float_pallas(self, x, b, n, low, high, pixels, lens,
+                             periodic, clamp_q):
+        """Fused-kernel float encode: one HBM pass for every block the
+        kernel certifies at the predicted width; the rest re-encode via
+        the XLA/host path.  Returns None when the shape/config does not
+        qualify (caller falls back wholesale)."""
+        from ..ops import fastdiv, pallas_encode
+
+        if n == 0:
+            return None
+        preds = {spec.precision_needed(int(p) - 1)
+                 for p in np.unique(pixels) if p > 0}
+        if len(preds) != 1:
+            return None  # mixed predicted widths: no single static pack
+        bits_pred = preds.pop()
+        if not pallas_encode.supported(bits_pred, n, int(pixels.max())):
+            return None
+        import jax
+
+        interpret = jax.default_backend() != "tpu"
+        dxq = (np.float32(high - low)
+               / pixels.astype(np.float32)).astype(np.float32)
+        db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+        words, mins, maxd, valid = pallas_encode.encode_float_pallas(
+            x, low, db, deb, dm0, dm1, pixels, periodic, bits_pred, n,
+            interpret=interpret)
+        words = np.asarray(words)
+        mins = np.asarray(mins).astype(np.int64)
+        maxd = np.asarray(maxd).astype(np.int64)
+        bits_true = np.array([spec.precision_needed(int(m)) for m in maxd],
+                             dtype=np.int64)
+        # clamp_q changes quantized values only for out-of-range pixels,
+        # which the kernel flags invalid anyway; certified rows are
+        # unaffected by it
+        ok = (np.asarray(valid) & dok & (lens == n)
+              & (bits_true == bits_pred))
+        payloads: list = [b""] * b
+        for i in np.nonzero(ok)[0]:
+            payloads[i] = bitpack.words_to_bytes(words[i], bits_pred, n)
+        bits = np.full(b, bits_pred, dtype=np.int64)
+        if not ok.all():
+            bad = np.nonzero(~ok)[0]
+            sub = self._encode_float_xla(
+                x[bad], len(bad), n, low[bad], high[bad], pixels[bad],
+                lens[bad], periodic[bad], clamp_q)
+            for row, i in enumerate(bad):
+                payloads[i] = sub.payloads[row]
+                mins[i] = sub.mins[row]
+                bits[i] = sub.bits[row]
+        return EncodedBlocks(payloads, mins, bits, lens)
+
+    def _encode_float_xla(self, x, b, n, low, high, pixels, lens,
+                          periodic, clamp_q) -> EncodedBlocks:
         bp = self._pad(b)
         if bp != b:
             pad = bp - b

@@ -122,3 +122,40 @@ def test_pipeline_feeds_container_writer(tmp_path, mesh8):
         got = r.data(i)
         assert np.all(np.abs(got - x[i]) <= dx * (1 + 1e-5))
     r.close()
+
+
+def test_pallas_encode_path_byte_identical():
+    """Production BlockEncoder with the fused Pallas kernel (interpret
+    mode on CPU) produces the same EncodedBlocks as the XLA path,
+    including the fallback classes: a clustered block whose true width
+    is below the predicted one, a short block, and an empty block."""
+    rng = np.random.default_rng(11)
+    n = 512  # multiple of 256 (kernel tile constraint)
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (6, n)).astype(np.float32)
+    x[1] = 100.0 + rng.uniform(0, 0.01, n).astype(np.float32)  # narrow
+    wrap = np.concatenate([rng.uniform(0, 2, n // 2),
+                           250.0 - rng.uniform(0, 2, n - n // 2)])
+    x[2] = wrap.astype(np.float32)  # periodic wrap cluster
+    lens = np.array([n, n, n, n // 4, 0, n], dtype=np.int64)
+
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels, lens=lens)
+    got = BlockEncoder(pallas=True).encode_float_blocks(
+        x, low, high, pixels, lens=lens)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+    assert want.bits[1] < want.bits[0]  # fallback class actually hit
+
+
+def test_pallas_encode_path_unsupported_shape_falls_back():
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 9.9, (3, 96)).astype(np.float32)  # n % 256 != 0
+    pixels = spec.float_group_pixels(0.0, 10.0, 0.01)
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, 0.0, 10.0, pixels)
+    got = BlockEncoder(pallas=True).encode_float_blocks(
+        x, 0.0, 10.0, pixels)
+    assert got.payloads == want.payloads

@@ -11,3 +11,7 @@ def test_backend_is_bit_exact():
     report = validate.validate_backend()
     assert report["exact"]
     assert report["backend"] == "cpu"
+
+
+def test_pallas_encode_validation_interpret():
+    validate.validate_pallas_encode(interpret=True)

@@ -314,6 +314,8 @@ def main():
         out = exp_transpose()
     elif name == "gather":
         out = exp_gather()
+    elif name == "transpose_aligned":
+        out = exp_transpose_aligned()
     else:
         out = run_variant(name)
     out = {k: (round(v, 3) if isinstance(v, float) else v)
@@ -550,6 +552,112 @@ def _variant_mxu_dot():
 VARIANTS["v7_stride"] = _variant_stride
 VARIANTS["v8_mxu"] = _variant_mxu
 VARIANTS["v9_mxudot"] = _variant_mxu_dot
+
+
+def _variant_group64():
+    """All-aligned chain: every materialized intermediate keeps a
+    128-multiple minor dim, unlike v0-v9 whose (…, 18) / (…, 32)
+    intermediates waste 7x/4x lanes in tiled HBM layout.
+
+    flat words (B, t*18) -> 64-tile groups (B*t/64, 1152 = 9*128)
+    -> aligned 2-D transpose (1152, M) -> static row gather to
+    (2048, M) (64 tiles x 32 elements; rows never cross a group, spill
+    clamp proof: with s>14 the spill word index is <= 17) -> vector
+    shift/combine -> aligned back-transpose (M, 2048) -> reshape
+    (B, n)."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = offs // 32
+    w2 = np.minimum(w1 + 1, BITS - 1)  # clamped spill: masked anyway
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+
+    k = np.arange(64, dtype=np.int64)
+    rows_a = (k[:, None] * BITS + w1[None, :]).reshape(-1)  # (2048,)
+    rows_b = (k[:, None] * BITS + w2[None, :]).reshape(-1)
+    s_col = np.tile(s, 64)[:, None]                         # (2048, 1)
+    s2_col = np.tile(s2, 64)[:, None].astype(np.uint32)
+    spill = np.tile(s > 0, 64)[:, None]
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        g = t // 64
+        m = b * g
+        wt = w.reshape(m, 1152).T          # aligned transpose
+        a = wt[rows_a]                      # (2048, m) static row gather
+        c = wt[rows_b]
+        out = a >> s_col
+        out = out | jnp.where(spill, c << s2_col, jnp.uint32(0))
+        out = (out & mask).T.reshape(b, g * 2048)
+        return out[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def _variant_group64_barrier():
+    """group64 with each stage materialized via optimization_barrier
+    (in case XLA fuses the aligned chain into a slow loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    offs = np.arange(32, dtype=np.int64) * BITS
+    s = (offs % 32).astype(np.uint32)
+    w1 = offs // 32
+    w2 = np.minimum(w1 + 1, BITS - 1)
+    s2 = ((32 - s) % 32).astype(np.uint32)
+    mask = np.uint32((1 << BITS) - 1)
+    k = np.arange(64, dtype=np.int64)
+    rows_a = (k[:, None] * BITS + w1[None, :]).reshape(-1)
+    rows_b = (k[:, None] * BITS + w2[None, :]).reshape(-1)
+    s_col = np.tile(s, 64)[:, None]
+    s2_col = np.tile(s2, 64)[:, None].astype(np.uint32)
+    spill = np.tile(s > 0, 64)[:, None]
+
+    def f(w, n):
+        b, wn = w.shape
+        t = wn // BITS
+        g = t // 64
+        m = b * g
+        wt = w.reshape(m, 1152).T
+        wt = jax.lax.optimization_barrier(wt)
+        a = wt[rows_a]
+        c = wt[rows_b]
+        out = a >> s_col
+        out = out | jnp.where(spill, c << s2_col, jnp.uint32(0))
+        out = out & mask
+        out = jax.lax.optimization_barrier(out)
+        out = out.T.reshape(b, g * 2048)
+        return out[:, :n]
+
+    return jax.jit(f, static_argnames=("n",))
+
+
+def exp_transpose_aligned():
+    """Aligned 2-D transpose only: (M, 1152) -> (1152, M), both dims
+    128/8-multiples -- the layout-cost model says this should beat the
+    88 GB/s measured for the lane-padded (t, 18) transpose."""
+    import jax
+
+    @jax.jit
+    def f(w):
+        b, wn = w.shape
+        m = b * (wn // BITS) // 64
+        return w.reshape(m, 1152).T + np.uint32(1)
+
+    def make(n):
+        w, by = _words(n)
+        return (w,), by
+
+    s, large = _slope(f, make, sync=lambda o: o[:1, 0])
+    return {"slope_GBps": s, "large_GBps": large}
+
+
+VARIANTS["v10_group64"] = _variant_group64
+VARIANTS["v11_group64b"] = _variant_group64_barrier
 
 
 if __name__ == "__main__":
