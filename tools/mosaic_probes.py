@@ -109,7 +109,69 @@ def probe_sliceconcat():
     return {"ok": ok}
 
 
+def probe_stride_read():
+    """Strided sublane slice x[w::18] on a (1152, 256) array -- the
+    per-word extraction a transpose-free grouped decode kernel needs."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[3::18, :]
+
+    x = np.arange(1152 * 256, dtype=np.int32).reshape(1152, 256)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((64, 256), jnp.int32),
+    )(x)
+    ok = bool((np.asarray(out) == x[3::18]).all())
+    return {"ok": ok}
+
+
+def probe_stride_write():
+    """Strided sublane store o[j::32] = v -- the interleaving store the
+    same kernel needs for k-major element order."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        o_ref[5::32, :] = x_ref[...]
+        o_ref[0::32, :] = x_ref[...] + jnp.int32(1)
+
+    x = np.arange(64 * 256, dtype=np.int32).reshape(64, 256)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2048, 256), jnp.int32),
+    )(x)
+    o = np.asarray(out)
+    ok = bool((o[5::32] == x).all() and (o[0::32] == x + 1).all())
+    return {"ok": ok}
+
+
+def probe_big_transpose():
+    """In-kernel transpose at decode-kernel scale: (256, 1152) ->
+    (1152, 256) int32 (the supported case was (512, 32))."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...].T
+
+    x = np.arange(256 * 1152, dtype=np.int32).reshape(256, 1152)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1152, 256), jnp.int32),
+    )(x)
+    ok = bool((np.asarray(out) == x.T).all())
+    return {"ok": ok}
+
+
 PROBES = {
+    "stride_read": probe_stride_read,
+    "stride_write": probe_stride_write,
+    "big_transpose": probe_big_transpose,
     "transpose": probe_transpose,
     "u64mul": probe_u64mul,
     "reshape2d": probe_reshape2d,
