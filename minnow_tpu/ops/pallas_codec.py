@@ -35,7 +35,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_float_pallas", "unpack_pallas", "supported"]
+__all__ = ["decode_float_pallas", "unpack_pallas", "supported",
+           "decode_float_pallas_group", "unpack_pallas_group",
+           "group_tiles", "supported_group"]
 
 
 def supported(bits: int, n: int, pixels_max: int) -> bool:
@@ -73,17 +75,11 @@ def _expand_rows(wt, idx):
     return jnp.concatenate(rows, axis=0)
 
 
-def _unpack_tile(w, bits: int):
-    """(R, bits) or padded (R, 32) words -> (32, R) u32 element values.
-
-    The padded form exists because Mosaic's in-VMEM transpose is fast
-    only for sublane-aligned minor dims: (R, 32) transposes cheaply,
-    (R, 18) does not; garbage pad rows are never referenced by the
-    expansion (w1/w2 < bits)."""
+def _unpack_tile_t(wt, bits: int):
+    """(bits, R) word-planar rows -> (32, R) u32 element values."""
     s, w1, w2, s2 = _row_shifts(bits)
     mask = np.uint32((1 << bits) - 1) if bits < 32 \
         else np.uint32(0xFFFFFFFF)
-    wt = w.T  # (bits|32, R) -- in-VMEM transpose
     a = _expand_rows(wt, w1)
     b = _expand_rows(wt, w2)
     # shift vectors built in-kernel (kernels cannot capture array
@@ -95,6 +91,16 @@ def _unpack_tile(w, bits: int):
     out = a >> s_c
     out = out | jnp.where(s_c > jnp.uint32(0), b << s2_c, jnp.uint32(0))
     return out & mask
+
+
+def _unpack_tile(w, bits: int):
+    """(R, bits) or padded (R, 32) words -> (32, R) u32 element values.
+
+    The padded form exists because Mosaic's in-VMEM transpose is fast
+    only for sublane-aligned minor dims: (R, 32) transposes cheaply,
+    (R, 18) does not; garbage pad rows are never referenced by the
+    expansion (w1/w2 < bits)."""
+    return _unpack_tile_t(w.T, bits)  # in-VMEM transpose
 
 
 def _unpack_tile_lane(w, bits: int):
@@ -271,6 +277,184 @@ def decode_float_pallas(words, mins, low, high, pixels, periodic,
                pixels.astype(jnp.int32),
                periodic.astype(jnp.int32))
     return out.reshape(b, t * 32)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# group-aligned variant: every HBM ref has a 128-multiple minor dim
+# ---------------------------------------------------------------------------
+#
+# The per-tile kernels above move (r, bits) / (r, 32) blocks whose minor
+# dims occupy bits/128 and 32/128 of each tiled-HBM lane row -- measured
+# 12-22 GB/s on v5e, DMA-bound at 7x/4x padded traffic.  Grouping
+# G tiles (G*bits % 128 == 0, G*32 % 128 == 0) makes both refs dense:
+#
+#   words (M, G*bits) --transpose--> (G*bits, r) word-planar
+#     --per-tile static row expansion + vector shifts--> (G*32, r)
+#     --transpose--> (r, G*32) elements, dense write
+#
+# One HBM read of the words + one write of the output; both in-kernel
+# transposes are Mosaic-supported at this scale (tools/mosaic_probes.py
+# big_transpose).  The caller supplies words ALREADY shaped (M, G*bits)
+# -- a free host-side reshape of the byte stream -- because a device
+# reshape from (B, W) would relayout through HBM, re-adding a pass.
+
+
+def group_tiles(bits: int) -> int:
+    """Tiles per aligned group: smallest G with G*bits % 128 == 0."""
+    return 64 if (64 * bits) % 128 == 0 else 128
+
+
+def supported_group(bits: int, n: int, pixels_max: int = 0) -> bool:
+    """Shapes the group-aligned kernel handles (else per-tile/XLA)."""
+    # t/G % 8 == 0: Pallas block sublane dims must be 8-multiples
+    return (0 < bits <= 32 and n % (32 * group_tiles(bits) * 8) == 0
+            and pixels_max < (1 << 24))
+
+
+def _tile_step(bits: int) -> int:
+    """Tiles per dynamic loop step: smallest T with T*bits % 8 == 0.
+    Mosaic requires dynamic sublane offsets it can prove are multiples
+    of 8 ("cannot statically prove that index in dimension 0 is a
+    multiple of 8" otherwise, measured on v5e); tiles within a step are
+    peeled by static value slices instead."""
+    import math
+
+    return 8 // math.gcd(bits, 8)
+
+
+def _bc(x, dt):
+    return jax.lax.bitcast_convert_type(x, dt)
+
+
+def _unpack_group_tiles(bits: int, G: int, w_ref, wt_scr, q_scr):
+    """Shared body: (r, G*bits) words ref -> (G*32, r) u32 values in
+    q_scr (as int32 bits; Mosaic transposes are int32-safe)."""
+    # in-VMEM transpose to word-planar rows; u32 ops run as i32 bitcasts
+    wt_scr[...] = _bc(w_ref[...], jnp.int32).T  # (G*bits, r)
+    ts = _tile_step(bits)
+
+    def step_body(j, carry):
+        rows = _bc(wt_scr[pl.ds(j * np.int32(ts * bits), ts * bits), :],
+                   jnp.uint32)                       # (ts*bits, r)
+        vals = jnp.concatenate(
+            [_unpack_tile_t(rows[u * bits:(u + 1) * bits], bits)
+             for u in range(ts)], axis=0)            # (ts*32, r)
+        q_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :] = \
+            _bc(vals, jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
+                      jnp.int32(0))
+
+
+def _decode_kernel_group(bits: int, G: int, dither: str, w_ref, mn_ref,
+                         low_ref, dx_ref, pix_ref, per_ref, out_ref,
+                         wt_scr, q_scr):
+    i = pl.program_id(0)
+    _unpack_group_tiles(bits, G, w_ref, wt_scr, q_scr)
+    q = q_scr[...]                                   # (G*32, r) int32
+    out = _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
+                       per_ref)
+    out_ref[...] = out.T                             # (r, G*32) f32
+
+
+def _unpack_kernel_group(bits: int, G: int, w_ref, out_ref, wt_scr,
+                         q_scr):
+    _unpack_group_tiles(bits, G, w_ref, wt_scr, q_scr)
+    out_ref[...] = _bc(q_scr[...].T, jnp.uint32)     # (r, G*32)
+
+
+def _group_call(kernel, b, t_g, r, gw, ge, n_scalars, out_dtype,
+                interpret):
+    steps = t_g // r
+    scalar_spec = pl.BlockSpec((b,), lambda i, j: (np.int32(0),),
+                               memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, steps),
+        in_specs=[pl.BlockSpec((r, gw),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0)))]
+        + [scalar_spec] * n_scalars,
+        out_specs=pl.BlockSpec((r, ge),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((b * t_g, ge), out_dtype),
+        scratch_shapes=[pltpu.VMEM((gw, r), jnp.int32),
+                        pltpu.VMEM((ge, r), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )
+
+
+def _pick_r_group(t_g: int, rows: int = 0) -> int:
+    r = min(rows or 128, t_g)
+    while t_g % r:
+        r //= 2
+    return max(r, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "dither",
+                                             "interpret", "rows"))
+def decode_float_pallas_group(words2d, mins, low, high, pixels,
+                              periodic, bits: int, n: int,
+                              dither: str = "none",
+                              interpret: bool = False, rows: int = 0):
+    """Fused aligned decode: (B*t/G, G*bits) words -> (B*t/G, G*32)
+    float32 (row-major identical to (B, n); reshape on host is free).
+
+    ``words2d`` must already be the aligned 2-D view -- see the module
+    comment.  Scalars are (B,) per-block arrays; semantics identical to
+    :func:`decode_float_pallas`."""
+    if dither not in ("none", "midpoint"):
+        raise ValueError("pallas decode supports none/midpoint dither")
+    b = mins.shape[0]
+    G = group_tiles(bits)
+    t_g = (n // 32) // G
+    ge = G * 32
+    gw = G * bits
+    if words2d.shape != (b * t_g, gw):
+        raise ValueError("words2d must be (B*t/G, G*bits), got %s"
+                         % (words2d.shape,))
+    r = _pick_r_group(t_g, rows)
+    from . import codec as _codec
+
+    low32 = low.astype(jnp.float32)
+    dx = _codec._dx64(low32, high.astype(jnp.float32),
+                      pixels).astype(jnp.float32)
+    call = _group_call(
+        functools.partial(_decode_kernel_group, bits, G, dither),
+        b, t_g, r, gw, ge, 5, jnp.float32, interpret)
+    return call(words2d,
+                mins.astype(jnp.int32),
+                low32,
+                dx,
+                pixels.astype(jnp.int32),
+                periodic.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "rows"))
+def unpack_pallas_group(words2d, bits: int, n: int,
+                        interpret: bool = False, rows: int = 0):
+    """(B*t/G, G*bits) aligned words -> (B*t/G, G*32) uint32 raw
+    values (the aligned twin of unpack_pallas; B inferred from rows)."""
+    G = group_tiles(bits)
+    t_g = (n // 32) // G
+    gw = G * bits
+    m = words2d.shape[0]
+    b = m // t_g
+    if words2d.shape != (b * t_g, gw) or b * t_g != m:
+        raise ValueError("words2d must be (B*t/G, G*bits), got %s"
+                         % (words2d.shape,))
+    r = _pick_r_group(t_g, rows)
+    call = _group_call(functools.partial(_unpack_kernel_group, bits, G),
+                       b, t_g, r, gw, G * 32, 0, jnp.uint32, interpret)
+    return call(words2d)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",

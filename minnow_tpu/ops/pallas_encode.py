@@ -177,9 +177,10 @@ def _periodic_distance(x, x0, p):
         jnp.where(d < -(d + p), p + d, d))
 
 
-def _pack_tile(deltas_t, bits: int):
-    """(32, t) u32 deltas -> (t, bits) stream words (the Mosaic-safe
-    vector-shift + static-slice-sum formulation of ops/bitpack)."""
+def _pack_tile_planar(deltas_t, bits: int):
+    """(32, t) u32 deltas -> (bits, t) word-planar stream words (the
+    Mosaic-safe vector-shift + static-slice-sum formulation of
+    ops/bitpack)."""
     t_len = deltas_t.shape[1]
     mask = np.uint32((1 << bits) - 1) if bits < 32 \
         else np.uint32(0xFFFFFFFF)
@@ -209,8 +210,12 @@ def _pack_tile(deltas_t, bits: int):
                 acc = seg if acc is None else acc + seg
         rows.append(acc if acc is not None
                     else jnp.zeros((1, t_len), jnp.int32))
-    words = bc(jnp.concatenate(rows, axis=0), jnp.uint32)  # (bits, t)
-    return words.T  # (t, bits)
+    return bc(jnp.concatenate(rows, axis=0), jnp.uint32)  # (bits, t)
+
+
+def _pack_tile(deltas_t, bits: int):
+    """(32, t) u32 deltas -> (t, bits) stream words."""
+    return _pack_tile_planar(deltas_t, bits).T
 
 
 def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
@@ -359,3 +364,187 @@ def encode_float_pallas(x, low, b, eb, m0, m1, pixels, periodic,
     words, mins, maxd, valid = out
     return (words.reshape(bsz, t * bits), mins.astype(jnp.int64),
             maxd.astype(jnp.int64), valid != 0)
+
+
+# ---------------------------------------------------------------------------
+# group-aligned variant: every HBM ref has a 128-multiple minor dim
+# ---------------------------------------------------------------------------
+#
+# The kernel above moves (t, 32) / (t, bits) blocks: 32/128 and bits/128
+# of every tiled-HBM lane row, i.e. 4x read and 128/bits write DMA
+# amplification, and the quantizer runs at 25% lane occupancy.  Grouping
+# G = pallas_codec.group_tiles(bits) tiles per row makes x (t/G, G*32)
+# and words (t/G, G*bits) both dense; only the pack needs tile-major
+# data, obtained by per-chunk in-kernel transposes (Mosaic-supported at
+# this scale, tools/mosaic_probes.py big_transpose).  The caller
+# supplies x ALREADY shaped (B*t/G, G*32) -- a free host-side reshape --
+# because a device reshape from (B, n) would relayout through HBM.
+
+
+def supported_group_enc(bits: int, n: int, pixels_max: int) -> bool:
+    from .pallas_codec import group_tiles
+
+    g = group_tiles(bits)
+    # t/G % 8 == 0: Pallas block sublane dims must be 8-multiples;
+    # t/G <= 256 keeps the whole-block q scratch (t/G, G*32) <= 2 MB
+    return (0 < bits <= 30 and n % (32 * g * 8) == 0
+            and n <= (32 * g * 256) and pixels_max < (1 << 24))
+
+
+def _encode_kernel_group(bits: int, G: int, cs: int, x_ref, low_ref,
+                         b_ref, eb_ref, m0_ref, m1_ref, pix_ref,
+                         per_ref, w_ref, mn_ref, maxd_ref, valid_ref,
+                         q_scr, qt_scr, wt_scr):
+    i = pl.program_id(0)
+    t_g = x_ref.shape[0]
+    steps = jnp.int32(t_g // cs)
+    zero = jnp.int32(0)
+    p = pix_ref[i]
+    bc = jax.lax.bitcast_convert_type
+
+    # pass 1: quantize -- elementwise on dense (cs, G*32) chunks (full
+    # lane occupancy, unlike the (chunk, 32) layout above)
+    def quant_body(c, ex_carry):
+        xc = x_ref[pl.ds(c * np.int32(cs), cs), :]
+        diff = xc - low_ref[i]           # f32 sub, exact per spec
+        qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
+                                   m0_ref[i], m1_ref[i])
+        q_scr[pl.ds(c * np.int32(cs), cs), :] = qc
+        return jnp.minimum(ex_carry,
+                           jnp.min(exact.astype(jnp.int32)))
+    ex_min = jax.lax.fori_loop(jnp.int32(0), steps, quant_body,
+                               jnp.int32(1))
+    all_exact = ex_min == jnp.int32(1)
+
+    # pass 2: periodic-distance stats vs q[0,0] (global element 0: the
+    # (t/G, G*32) view is row-major in element order)
+    x0 = q_scr[0, 0]
+
+    def ystat_body(c, carry):
+        ymin_c, ymax_c, inr_c = carry
+        qc = q_scr[pl.ds(c * np.int32(cs), cs), :]
+        y = _periodic_distance(qc, x0, p)
+        inr = jnp.min(((qc >= zero) & (qc < p)).astype(jnp.int32))
+        return (jnp.minimum(ymin_c, jnp.min(y)),
+                jnp.maximum(ymax_c, jnp.max(y)),
+                jnp.minimum(inr_c, inr))
+    big = jnp.int32(0x7FFFFFFF)
+    ymin, ymax, inr_min = jax.lax.fori_loop(
+        jnp.int32(0), steps, ystat_body, (big, -big, jnp.int32(1)))
+    in_range = inr_min == jnp.int32(1)
+
+    wwin = ymax - ymin + jnp.int32(1)
+    m = x0 + ymin
+    m = jnp.where(m < zero, m + p, m)
+    m = jnp.where(wwin > p // jnp.int32(2), zero, m)
+    per = per_ref[i] != zero
+
+    def recenter(qc):
+        qb = qc + jnp.where(qc < m, p, zero)
+        qb = qb - jnp.where(qb >= m + p, p, zero)
+        return jnp.where(per, qb, qc)
+
+    # pass 3: recentered min/max
+    def mstat_body(c, carry):
+        mn_c, mx_c = carry
+        qc = recenter(q_scr[pl.ds(c * np.int32(cs), cs), :])
+        return (jnp.minimum(mn_c, jnp.min(qc)),
+                jnp.maximum(mx_c, jnp.max(qc)))
+    mn, mx = jax.lax.fori_loop(jnp.int32(0), steps, mstat_body,
+                               (big, -big))
+
+    # pass 4: delta -> transpose to tile-major -> per-tile planar pack
+    # -> transpose back to stream order, one dense (cs, G*bits) store.
+    # ts tiles per dynamic step: Mosaic requires dynamic sublane offsets
+    # it can prove are 8-multiples (see pallas_codec._tile_step); tiles
+    # within a step are peeled by static value slices.
+    from .pallas_codec import _tile_step
+
+    ts = _tile_step(bits)
+
+    def pack_body(c, carry):
+        qc = recenter(q_scr[pl.ds(c * np.int32(cs), cs), :]) - mn
+        qt_scr[...] = qc.T               # (G*32, cs) in-VMEM transpose
+
+        def step_body(j, carry2):
+            tiles = bc(qt_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :],
+                       jnp.uint32)       # (ts*32, cs)
+            planar = jnp.concatenate(
+                [_pack_tile_planar(tiles[u * 32:(u + 1) * 32], bits)
+                 for u in range(ts)], axis=0)  # (ts*bits, cs)
+            wt_scr[pl.ds(j * np.int32(ts * bits), ts * bits), :] = \
+                bc(planar, jnp.int32)
+            return carry2
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
+                          zero)
+        w_ref[pl.ds(c * np.int32(cs), cs), :] = \
+            bc(wt_scr[...].T, jnp.uint32)  # (cs, G*bits)
+        return carry
+    jax.lax.fori_loop(jnp.int32(0), steps, pack_body, zero)
+
+    mn_ref[i] = mn
+    maxd_ref[i] = mx - mn
+    valid_ref[i] = ((in_range | ~per) & all_exact).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "rows"))
+def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
+                              bits: int, n: int, interpret: bool = False,
+                              rows: int = 0):
+    """Group-aligned fused encode: (B*t/G, G*32) float32 (row-major
+    identical to (B, n)) -> ((B*t/G, G*bits) words, mins, maxd, valid).
+
+    Same contract as :func:`encode_float_pallas` -- the words rows are
+    the aligned 2-D view of the (B, t*bits) stream (free host reshape).
+    """
+    from .pallas_codec import group_tiles
+
+    g = group_tiles(bits)
+    bsz = low.shape[0]
+    t = n // 32
+    t_g = t // g
+    ge = g * 32
+    gw = g * bits
+    if x2d.shape != (bsz * t_g, ge):
+        raise ValueError("x2d must be (B*t/G, G*32), got %s"
+                         % (x2d.shape,))
+    cs = min(rows or 128, t_g)
+    while t_g % cs:
+        cs //= 2
+    cs = max(cs, 8)
+
+    scalar = pl.BlockSpec((bsz,), lambda i: (np.int32(0),),
+                          memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_encode_kernel_group, bits, g, cs),
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((t_g, ge), lambda i: (i, np.int32(0)))]
+        + [scalar] * 7,
+        out_specs=[
+            pl.BlockSpec((t_g, gw), lambda i: (i, np.int32(0))),
+            scalar,
+            scalar,
+            scalar,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * t_g, gw), jnp.uint32),
+            jax.ShapeDtypeStruct((bsz,), jnp.int32),
+            jax.ShapeDtypeStruct((bsz,), jnp.int32),
+            jax.ShapeDtypeStruct((bsz,), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t_g, ge), jnp.int32),
+                        pltpu.VMEM((ge, cs), jnp.int32),
+                        pltpu.VMEM((gw, cs), jnp.int32)],
+        interpret=interpret,
+    )(x2d,
+      low.astype(jnp.float32),
+      b.astype(jnp.uint32),
+      eb.astype(jnp.int32),
+      m0.astype(jnp.uint32),
+      m1.astype(jnp.uint32),
+      pixels.astype(jnp.int32),
+      periodic.astype(jnp.int32))
+    words, mins, maxd, valid = out
+    return (words, mins.astype(jnp.int64), maxd.astype(jnp.int64),
+            valid != 0)

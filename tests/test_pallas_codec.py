@@ -58,6 +58,56 @@ def test_decode_float_pallas_bit_identical(dither):
                                   got.view(np.uint32))
 
 
+@pytest.mark.parametrize("bits", [1, 7, 13, 18, 24, 32])
+def test_unpack_pallas_group_matches_spec(bits):
+    rng = np.random.default_rng(5)
+    G = pallas_codec.group_tiles(bits)
+    n, b = 32 * G * 8, 3  # t/G = 8: the kernel's sublane alignment floor
+    vals = rng.integers(0, 1 << min(bits, 62), (b, n), dtype=np.uint64) \
+        & np.uint64((1 << bits) - 1 if bits < 64 else ~0)
+    words = _words_for(vals, bits, n)
+    w2d = words.reshape(-1, G * bits)  # free host reshape
+    got = np.asarray(pallas_codec.unpack_pallas_group(
+        jax.device_put(w2d), bits, n, interpret=True))
+    np.testing.assert_array_equal(
+        got.reshape(b, n).astype(np.uint64), vals)
+
+
+@pytest.mark.parametrize("dither", ["none", "midpoint"])
+def test_decode_float_pallas_group_bit_identical(dither):
+    rng = np.random.default_rng(10)
+    bits, b = 18, 5
+    G = pallas_codec.group_tiles(bits)
+    n = 32 * G * 8
+    pixels = 250000
+    vals = rng.integers(0, pixels, (b, n), dtype=np.uint64)
+    words = _words_for(vals, bits, n)
+    mins = rng.integers(-3, 3, b).astype(np.int64)
+    low = rng.uniform(-10, 0, b).astype(np.float32)
+    high = (low + rng.uniform(100, 300, b)).astype(np.float32)
+    pix = np.full(b, pixels, np.int64)
+    periodic = np.array([True, True, False, True, False])
+    ref = np.asarray(codec.decode_float_blocks32(
+        words, mins, low, high, pix, periodic, np.arange(b), bits, n,
+        dither=dither))
+    got = np.asarray(pallas_codec.decode_float_pallas_group(
+        words.reshape(-1, G * bits), mins, low, high, pix, periodic,
+        bits, n, dither=dither, interpret=True))
+    np.testing.assert_array_equal(ref.view(np.uint32),
+                                  got.reshape(b, n).view(np.uint32))
+
+
+def test_supported_group_predicate():
+    assert pallas_codec.group_tiles(18) == 64
+    assert pallas_codec.group_tiles(13) == 128
+    assert pallas_codec.supported_group(18, 1 << 17, 250000)
+    assert pallas_codec.supported_group(13, 1 << 17, 250000)
+    assert not pallas_codec.supported_group(18, 1 << 11 | 32, 250000)
+    assert not pallas_codec.supported_group(18, 32 * 64 * 4, 250000)
+    assert not pallas_codec.supported_group(13, 2048, 250000)  # G=128
+    assert not pallas_codec.supported_group(18, 1 << 17, 1 << 25)
+
+
 def test_supported_predicate():
     assert pallas_codec.supported(18, 1 << 17, 250000)
     assert not pallas_codec.supported(0, 1 << 17, 250000)
@@ -139,3 +189,44 @@ def test_encode_float_pallas_byte_exact():
         else:
             narrow += 1
     assert narrow == 1  # the clustered block routes to the fallback
+
+
+def test_encode_float_pallas_group_byte_exact():
+    """Group-aligned fused encode == spec.encode_float_block bytes,
+    same fallback-flag contract as the per-tile kernel."""
+    from minnow_tpu.ops import fastdiv, pallas_encode
+
+    rng = np.random.default_rng(13)
+    bits = 18
+    G = pallas_codec.group_tiles(bits)
+    B, n = 6, 32 * G * 8
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (B, n)).astype(np.float32)
+    x[3] = rng.uniform(0, 2.0, n).astype(np.float32)  # narrow width
+    lowv = np.full(B, low, np.float32)
+    pixv = np.full(B, pixels, np.int64)
+    per = np.ones(B, bool)
+    dxq = np.full(B, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+
+    assert pallas_encode.supported_group_enc(bits, n, pixels)
+    x2d = x.reshape(-1, G * 32)  # free host reshape
+    words, mins, maxd, valid = pallas_encode.encode_float_pallas_group(
+        x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n,
+        interpret=True)
+    words = np.asarray(words).reshape(B, (n // 32) * bits)
+    mins, maxd, valid = map(np.asarray, (mins, maxd, valid))
+    assert valid.all()
+    narrow = 0
+    for i in range(B):
+        payload, mn, bts, _ = spec.encode_float_block(
+            x[i], low, high, pixels)
+        assert mins[i] == mn
+        assert spec.precision_needed(int(maxd[i])) == bts
+        if bts == bits:
+            assert bitpack.words_to_bytes(words[i], bits, n) == payload
+        else:
+            narrow += 1
+    assert narrow == 1

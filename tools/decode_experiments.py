@@ -316,6 +316,13 @@ def main():
         out = exp_gather()
     elif name == "transpose_aligned":
         out = exp_transpose_aligned()
+    elif name.startswith("pgroup"):
+        # pgroup | pgroup_r64 | pgroup_r256 | pgroup_unpack[_rNN]
+        fused = "unpack" not in name
+        rows = 0
+        if "_r" in name:
+            rows = int(name.rsplit("_r", 1)[1])
+        out = exp_pgroup(rows=rows, fused=fused)
     else:
         out = run_variant(name)
     out = {k: (round(v, 3) if isinstance(v, float) else v)
@@ -658,6 +665,66 @@ def exp_transpose_aligned():
 
 VARIANTS["v10_group64"] = _variant_group64
 VARIANTS["v11_group64b"] = _variant_group64_barrier
+
+
+def exp_pgroup(rows=0, fused=True):
+    """The aligned-group Pallas kernel (ops/pallas_codec.py
+    *_pallas_group): words pre-shaped (M, G*bits) on host (free), ONE
+    kernel, dense in/out HBM refs.  ``fused`` measures the production
+    decode (unpack+dequant -> f32); else the raw unpack."""
+    import jax
+
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, pallas_codec
+
+    G = pallas_codec.group_tiles(BITS)
+    gw = G * BITS
+
+    # correctness vs the normative host spec, through jit on this
+    # backend
+    rng = np.random.default_rng(3)
+    n_val = 32 * G * 8
+    vals = rng.integers(0, 1 << BITS, (4, n_val), dtype=np.uint64)
+    words = np.stack([
+        np.frombuffer(
+            spec.pack_bits(v, BITS)
+            + b"\0" * (bitpack.words_per_block(BITS, n_val) * 4
+                       - spec.array_bytes(BITS, n_val)),
+            dtype="<u4")
+        for v in vals])
+    got = np.asarray(pallas_codec.unpack_pallas_group(
+        jax.device_put(words.reshape(-1, gw)), BITS, n_val,
+        rows=rows))
+    if not (got.reshape(4, n_val).astype(np.uint64) == vals).all():
+        return {"error": "MISMATCH: pgroup not byte-exact on chip"}
+
+    if fused:
+        scal = {
+            "mins": np.zeros(B, np.int64),
+            "low": np.zeros(B, np.float32),
+            "high": np.full(B, 250.0, np.float32),
+            "pixels": np.full(B, 250000, np.int64),
+            "periodic": np.ones(B, bool),
+        }
+
+        def f(w2d, n):
+            return pallas_codec.decode_float_pallas_group(
+                w2d, scal["mins"], scal["low"], scal["high"],
+                scal["pixels"], scal["periodic"], BITS, n,
+                dither="none", rows=rows)
+    else:
+        def f(w2d, n):
+            return pallas_codec.unpack_pallas_group(w2d, BITS, n,
+                                                    rows=rows)
+
+    def make(n):
+        w, by = _words(n)
+        w2d = jax.device_put(np.asarray(w).reshape(-1, gw))
+        return (w2d, n), by
+
+    s, large = _slope(f, make, sync=lambda o: o[:1, 0])
+    return {"slope_GBps": s, "large_GBps": large, "exact": True,
+            "rows": rows}
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+"""On-chip validation + timing of the GROUP-ALIGNED fused Pallas encode
+kernel (ops/pallas_encode.encode_float_pallas_group).
+
+1. Byte-exactness vs the normative spec on the REAL backend, incl. a
+   periodic wrap cluster and a narrow-width fallback block.
+2. Slope throughput at the flagship 18-bit config (8 -> 128 blocks of
+   2^17), directly comparable to the per-tile kernel's 57 GB/s and the
+   XLA path's 11.5 GB/s at the same shapes (tools/pallas_encode_check).
+
+Usage: python tools/pallas_group_encode_check.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, iters=5, reps=6, sync=None):
+    sync = sync or (lambda o: o[1])
+    np.asarray(sync(fn(*args)))
+    np.asarray(sync(fn(*args)))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        for o in outs:
+            np.asarray(sync(o))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, fastdiv, pallas_codec, \
+        pallas_encode
+
+    out = {"device": str(jax.devices()[0])}
+    rng = np.random.default_rng(12)
+    bits = 18
+    G = pallas_codec.group_tiles(bits)
+    ge = G * 32
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+
+    # -- byte-exactness on the real backend --------------------------------
+    B, n = 6, 32 * G * 8
+    x = rng.uniform(0, 249.9, (B, n)).astype(np.float32)
+    wrap = np.concatenate([rng.uniform(0, 3, n // 2),
+                           250.0 - rng.uniform(0, 3, n - n // 2)])
+    x[2] = wrap.astype(np.float32)  # periodic wrap cluster
+    x[4] = rng.uniform(0, 2.0, n).astype(np.float32)  # narrow width
+    lowv = np.full(B, low, np.float32)
+    pixv = np.full(B, pixels, np.int64)
+    per = np.ones(B, bool)
+    dxq = np.full(B, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+
+    words, mins, maxd, valid = (np.asarray(a) for a in
+                                pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, ge), lowv, db, deb, dm0, dm1, pixv, per, bits, n))
+    words = words.reshape(B, (n // 32) * bits)
+    exact = bool(valid.all())
+    narrow = 0
+    for i in range(B):
+        payload, mn, bts, _ = spec.encode_float_block(x[i], low, high,
+                                                      pixels)
+        if mins[i] != mn or spec.precision_needed(int(maxd[i])) != bts:
+            exact = False
+            out["stats_mismatch"] = i
+            break
+        if bts == bits:
+            if bitpack.words_to_bytes(words[i], bits, n) != payload:
+                exact = False
+                out["payload_mismatch"] = i
+                break
+        else:
+            narrow += 1
+    out["encode_exact"] = exact
+    out["narrow_fallbacks"] = narrow
+    print(json.dumps(out), flush=True)
+    if not exact:
+        return
+
+    # -- throughput --------------------------------------------------------
+    def make(b, n):
+        xb = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+        x2d = xb.reshape(-1, ge)  # free host reshape
+        lowb = np.full(b, low, np.float32)
+        pixb = np.full(b, pixels, np.int64)
+        perb = np.ones(b, bool)
+        dxb = np.full(b, spec.quantize_dx(low, high, pixels),
+                      np.float32)
+        bb, ebb, m0b, m1b, okb = fastdiv.divisor_magic(dxb)
+        return (tuple(jax.device_put(a) for a in
+                      (x2d, lowb, bb, ebb, m0b, m1b, pixb, perb)),
+                b * n * 4)
+
+    def run(b, n):
+        def fn(x2d, lowb, bb, ebb, m0b, m1b, pixb, perb):
+            return pallas_encode.encode_float_pallas_group(
+                x2d, lowb, bb, ebb, m0b, m1b, pixb, perb, bits, n)
+
+        args, nbytes = make(b, n)
+        return _time(fn, *args), nbytes
+
+    n_blk = 1 << 17
+    t1, by1 = run(8, n_blk)
+    t2, by2 = run(128, n_blk)
+    out2 = {
+        "group_slope_GBps": round((by2 - by1) / 1e9 / (t2 - t1), 3)
+        if t2 > t1 else None,
+        "group_large_GBps": round(by2 / 1e9 / t2, 3),
+    }
+    print(json.dumps(out2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
