@@ -89,7 +89,33 @@ def _bench_shape(b, n, bits, low, high, dx):
     err = np.abs(xhat - x)
     err = np.minimum(err, np.float32(high) - err)
     assert err.max() <= dx * (1 + 1e-4), "on-chip roundtrip broke"
-    return t_enc, t_dec, x.nbytes
+
+    # group-aligned fused Pallas decode (the production bulk-read path;
+    # bit-identity vs the XLA decode is proven by
+    # validate.validate_pallas_group before timing).  Takes the aligned
+    # (M, G*bits) words view -- a free reshape where the words live
+    # (host file buffers / the group encoder's native output).
+    t_pg = None
+    from minnow_tpu.ops import pallas_codec
+
+    if jax.default_backend() == "tpu" \
+            and pallas_codec.supported_group(bits, n, pixels):
+        g = pallas_codec.group_tiles(bits)
+        w2d = jax.device_put(np.asarray(words).reshape(-1, g * bits))
+        pg_args = (w2d, mins, enc_args[1], dec_args[3], enc_args[2],
+                   enc_args[4])
+
+        def decode_pg(w2d, mins, lowv, highv, pixv, per):
+            return pallas_codec.decode_float_pallas_group(
+                w2d, mins, lowv, highv, pixv, per, bits, n,
+                dither="none")
+
+        t_pg = _time(decode_pg, *pg_args, sync=lambda out: out[:1, 0])
+        head = np.asarray(decode_pg(*pg_args))[:n // 2048].reshape(-1)
+        assert np.array_equal(head.view(np.uint32),
+                              xhat[0, :head.size].view(np.uint32)), \
+            "group decode diverged from XLA decode on chip"
+    return t_enc, t_dec, t_pg, x.nbytes
 
 
 def bench_device(b=64, n_small=1 << 17, n_large=1 << 21):
@@ -99,16 +125,23 @@ def bench_device(b=64, n_small=1 << 17, n_large=1 << 21):
     an artifact of the test harness, not of the chip; production hosts
     feed the TPU via PCIe/DMA and stream many batches in flight)."""
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
-    te1, td1, by1 = _bench_shape(b, n_small, bits, low, high, dx)
-    te2, td2, by2 = _bench_shape(b, n_large, bits, low, high, dx)
+    te1, td1, tp1, by1 = _bench_shape(b, n_small, bits, low, high, dx)
+    te2, td2, tp2, by2 = _bench_shape(b, n_large, bits, low, high, dx)
     enc_gbs = _safe_slope(by1, by2, te1, te2)
-    dec_gbs = _safe_slope(by1, by2, td1, td2)
-    return enc_gbs, dec_gbs, by2 / 1e9, {
+    dec_xla = _safe_slope(by1, by2, td1, td2)
+    extra = {
         "dispatch_floor_ms_encode": round(
             (te1 - by1 / 1e9 / enc_gbs) * 1e3, 2),
         "large_batch_encode_GBps": round(by2 / 1e9 / te2, 3),
         "large_batch_decode_GBps": round(by2 / 1e9 / td2, 3),
+        "decode_xla_GBps": round(dec_xla, 3),
     }
+    dec_gbs = dec_xla
+    if tp1 is not None and tp2 is not None:
+        dec_pg = _safe_slope(by1, by2, tp1, tp2)
+        extra["decode_pallas_group_GBps"] = round(dec_pg, 3)
+        dec_gbs = max(dec_gbs, dec_pg)
+    return enc_gbs, dec_gbs, by2 / 1e9, extra
 
 
 def _safe_slope(by1, by2, t1, t2):

@@ -213,6 +213,88 @@ def validate_pallas_encode(seed: int = 4, interpret: bool = False) -> None:
                 % i)
 
 
+def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
+    """Group-aligned Pallas kernels (ops/pallas_codec.py *_group,
+    ops/pallas_encode.encode_float_pallas_group) == host spec / XLA
+    decode, byte for byte, on the actual backend.  These are the
+    production TPU fast paths for bulk decode and streamed encode."""
+    from . import bitpack, codec, fastdiv, pallas_codec, pallas_encode
+
+    rng = np.random.default_rng(seed)
+
+    # unpack: even (G=64) and odd (G=128) widths
+    for bits in (18, 13):
+        g = pallas_codec.group_tiles(bits)
+        n = 32 * g * 8
+        vals = rng.integers(0, 1 << bits, (3, n), dtype=np.uint64)
+        words = np.stack([
+            bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+            for v in vals])
+        got = np.asarray(pallas_codec.unpack_pallas_group(
+            words.reshape(-1, g * bits), bits, n, interpret=interpret))
+        if not np.array_equal(got.reshape(3, n).astype(np.uint64), vals):
+            raise AssertionError("group unpack diverges at bits=%d"
+                                 % bits)
+
+    # fused decode vs the XLA decode, bitwise
+    bits = 18
+    g = pallas_codec.group_tiles(bits)
+    n, bsz = 32 * g * 8, 4
+    pixels = 250000
+    vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
+    words = np.stack([
+        bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+        for v in vals])
+    mins = rng.integers(-3, 3, bsz).astype(np.int64)
+    low = rng.uniform(-10, 0, bsz).astype(np.float32)
+    high = (low + rng.uniform(100, 300, bsz)).astype(np.float32)
+    pix = np.full(bsz, pixels, np.int64)
+    per = np.array([True, True, False, True])
+    ref = np.asarray(codec.decode_float_blocks32(
+        words, mins, low, high, pix, per, np.arange(bsz), bits, n,
+        dither="none"))
+    got = np.asarray(pallas_codec.decode_float_pallas_group(
+        words.reshape(-1, g * bits), mins, low, high, pix, per, bits, n,
+        dither="none", interpret=interpret))
+    if not np.array_equal(ref.view(np.uint32),
+                          got.reshape(bsz, n).view(np.uint32)):
+        raise AssertionError("group fused decode diverges from XLA "
+                             "decode")
+
+    # fused group encode vs host spec bytes
+    lowf, highf, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(lowf, highf, dx)
+    x = rng.uniform(0, 249.9, (bsz, n)).astype(np.float32)
+    wrap = np.concatenate([rng.uniform(0, 3, n // 2),
+                           250.0 - rng.uniform(0, 3, n - n // 2)])
+    x[2] = wrap.astype(np.float32)
+    lowv = np.full(bsz, lowf, np.float32)
+    pixv = np.full(bsz, pixels, np.int64)
+    perv = np.ones(bsz, bool)
+    dxq = np.full(bsz, spec.quantize_dx(lowf, highf, pixels),
+                  np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+    words, mn_, maxd, valid = (np.asarray(a) for a in
+                               pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=interpret))
+    if not valid.all():
+        raise AssertionError("group encode failed to certify in-range "
+                             "blocks")
+    words = words.reshape(bsz, (n // 32) * bits)
+    for i in range(bsz):
+        payload, mn, bts, _ = spec.encode_float_block(x[i], lowf, highf,
+                                                      pixels)
+        if mn_[i] != mn or spec.precision_needed(int(maxd[i])) != bts:
+            raise AssertionError("group encode stats diverge at block "
+                                 "%d" % i)
+        if bts == bits and \
+                bitpack.words_to_bytes(words[i], bits, n) != payload:
+            raise AssertionError("group encode payload diverges from "
+                                 "spec at block %d" % i)
+
+
 def validate_backend() -> dict:
     """Run all exactness checks on the current default backend.  Returns a
     small report dict; raises AssertionError on any divergence."""
@@ -233,4 +315,6 @@ def validate_backend() -> dict:
         # test suite)
         validate_pallas_encode()
         report["pallas_encode"] = True
+        validate_pallas_group()
+        report["pallas_group"] = True
     return report

@@ -55,6 +55,41 @@ def test_device_uniform_dither_within_dx(tmp_path):
     r.close()
 
 
+def test_device_group_path_interpret(tmp_path, monkeypatch):
+    """The group-aligned Pallas bulk-decode path (padded to kernel
+    alignment) equals the host reader bit-for-bit (interpret mode; the
+    real-kernel identity is gated on-chip by validate_pallas_group)."""
+    fname = str(tmp_path / "c.minh")
+    rng = np.random.default_rng(3)
+    n = 20000  # unaligned: exercises the zero-pad + slice path
+    w = minh.create(fname)
+    w.header(["x"], "t", [minh.Column(type=minh.Float, low=0, high=250,
+                                      dx=0.001)])
+    w.geometry(250, 0, 0)
+    x = rng.uniform(0, 249.9, n).astype(np.float32)
+    x[0], x[1] = 0.0, 249.9  # pin the delta range -> 18-bit block
+    w.block([x])
+    w.close()
+
+    r = minh.open(fname, dither="none")
+    host = r.floats(["x"])["x"]
+    used = []
+    orig = minh_device._group_decode
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        used.append(out is not None)
+        return out
+
+    monkeypatch.setattr(minh_device, "_group_decode", spy)
+    monkeypatch.setattr(minh_device, "_INTERPRET", True)
+    dev = minh_device.read_floats(r, ["x"], dither="none")["x"]
+    r.close()
+    assert any(used), "group decode path did not engage"
+    np.testing.assert_array_equal(dev.view(np.uint32),
+                                  host.view(np.uint32))
+
+
 def test_verify_minnow_cli(tmp_path, capsys):
     import pytest
 

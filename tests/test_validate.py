@@ -15,3 +15,7 @@ def test_backend_is_bit_exact():
 
 def test_pallas_encode_validation_interpret():
     validate.validate_pallas_encode(interpret=True)
+
+
+def test_pallas_group_validation_interpret():
+    validate.validate_pallas_group(interpret=True)

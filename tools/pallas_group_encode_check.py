@@ -112,13 +112,18 @@ def main():
         args, nbytes = make(b, n)
         return _time(fn, *args), nbytes
 
+    # first attempt timed 8 -> 128 blocks of 2^17: BOTH landed on the
+    # ~25 ms axon dispatch floor (t2 <= t1, slope undefined) -- i.e. the
+    # kernel is much faster than that window.  Re-time with an 8x size
+    # spread (67 MB -> 537 MB input) so the slope is resolvable.
     n_blk = 1 << 17
-    t1, by1 = run(8, n_blk)
-    t2, by2 = run(128, n_blk)
+    t1, by1 = run(128, n_blk)
+    t2, by2 = run(1024, n_blk)
     out2 = {
         "group_slope_GBps": round((by2 - by1) / 1e9 / (t2 - t1), 3)
         if t2 > t1 else None,
         "group_large_GBps": round(by2 / 1e9 / t2, 3),
+        "t_128": round(t1 * 1e3, 2), "t_1024": round(t2 * 1e3, 2),
     }
     print(json.dumps(out2), flush=True)
 
