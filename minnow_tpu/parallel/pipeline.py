@@ -85,7 +85,7 @@ class BlockEncoder:
         self.pallas = pallas
 
     def _pallas_mode(self) -> bool:
-        if self.mesh is not None or self.pallas is False:
+        if self.pallas is False:
             return False
         if self.pallas is True:
             return True
@@ -205,17 +205,69 @@ class BlockEncoder:
         if len(preds) != 1:
             return None  # mixed predicted widths: no single static pack
         bits_pred = preds.pop()
-        if not pallas_encode.supported(bits_pred, n, int(pixels.max())):
+        pix_max = int(pixels.max())
+        # prefer the group-aligned kernel (dense 128-multiple HBM refs:
+        # ~250 GB/s on v5e vs ~57 for the per-tile layout,
+        # tools/group_encode.log); fall back per-tile, then XLA
+        use_group = pallas_encode.supported_group_enc(bits_pred, n,
+                                                      pix_max)
+        if not use_group and \
+                not pallas_encode.supported(bits_pred, n, pix_max):
             return None
         import jax
 
         interpret = jax.default_backend() != "tpu"
+
+        def kernel_call(x, low, db, deb, dm0, dm1, pix, per):
+            if use_group:
+                from ..ops.pallas_codec import group_tiles
+
+                g = group_tiles(bits_pred)
+                t = n // 32
+                bloc = x.shape[0]
+                w2, mins, maxd, valid = \
+                    pallas_encode.encode_float_pallas_group(
+                        x[:, :n].reshape(bloc * (t // g), g * 32), low,
+                        db, deb, dm0, dm1, pix, per, bits_pred, n,
+                        interpret=interpret)
+                return (w2.reshape(bloc, t * bits_pred), mins, maxd,
+                        valid)
+            return pallas_encode.encode_float_pallas(
+                x, low, db, deb, dm0, dm1, pix, per, bits_pred, n,
+                interpret=interpret)
+
         dxq = (np.float32(high - low)
                / pixels.astype(np.float32)).astype(np.float32)
         db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
-        words, mins, maxd, valid = pallas_encode.encode_float_pallas(
-            x, low, db, deb, dm0, dm1, pixels, periodic, bits_pred, n,
-            interpret=interpret)
+        args = (x, low, db, deb, dm0, dm1, pixels, periodic)
+        if self.mesh is not None:
+            # mesh path: pallas_call does not auto-shard, so the kernel
+            # runs per-device under shard_map over the block axis (the
+            # XLA path's auto-spmd equivalent); each device encodes its
+            # local blocks, outputs re-concatenate on the same axis
+            from jax.sharding import PartitionSpec as P
+
+            bp = self._pad(b)
+            if bp != b:
+                pad = bp - b
+                args = tuple(
+                    np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                           mode="edge")
+                    for a in args)
+            row = P(mesh_lib.BLOCK_AXIS)
+            mat = P(mesh_lib.BLOCK_AXIS, None)
+            fn = jax.shard_map(
+                kernel_call,
+                mesh=self.mesh, in_specs=(mat,) + (row,) * 7,
+                out_specs=(mat, row, row, row),
+                # pallas_call's out_shape carries no varying-mesh-axes
+                # metadata; the kernel is per-block so every output
+                # varies only on the block axis
+                check_vma=False)
+            words, mins, maxd, valid = (o[:b] for o in
+                                        fn(*self._shard(*args)))
+        else:
+            words, mins, maxd, valid = kernel_call(*args)
         words = np.asarray(words)
         mins = np.asarray(mins).astype(np.int64)
         maxd = np.asarray(maxd).astype(np.int64)

@@ -150,6 +150,50 @@ def test_pallas_encode_path_byte_identical():
     assert want.bits[1] < want.bits[0]  # fallback class actually hit
 
 
+def test_pallas_encode_path_sharded_mesh(mesh8):
+    """The fused Pallas encode under shard_map on the 8-device mesh
+    (each device runs the kernel on its local blocks) is byte-identical
+    to the unsharded XLA path, including block-count padding (b=6 pads
+    to 8) and the narrow-width fallback."""
+    rng = np.random.default_rng(13)
+    n = 512
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (6, n)).astype(np.float32)
+    x[3] = 10.0 + rng.uniform(0, 0.01, n).astype(np.float32)  # narrow
+
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels)
+    got = BlockEncoder(mesh8, pallas=True).encode_float_blocks(
+        x, low, high, pixels)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+    assert want.bits[3] < want.bits[0]
+
+
+def test_pallas_encode_group_variant_byte_identical():
+    """At group-aligned shapes (n % 32*G*8 == 0) the encoder selects the
+    group-aligned kernel; bytes must still match the XLA path exactly."""
+    from minnow_tpu.ops import pallas_encode
+
+    rng = np.random.default_rng(14)
+    n = 16384  # 18-bit prediction -> G=64 -> alignment 16384
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    assert pallas_encode.supported_group_enc(18, n, pixels)
+    x = rng.uniform(0, 249.9, (2, n)).astype(np.float32)
+    x[1, :8] = [0.0, 249.9] * 4  # pin width to the 18-bit prediction
+
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels)
+    got = BlockEncoder(pallas=True).encode_float_blocks(
+        x, low, high, pixels)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+
+
 def test_pallas_encode_path_unsupported_shape_falls_back():
     rng = np.random.default_rng(12)
     x = rng.uniform(0, 9.9, (3, 96)).astype(np.float32)  # n % 256 != 0

@@ -112,18 +112,18 @@ def main():
         args, nbytes = make(b, n)
         return _time(fn, *args), nbytes
 
-    # first attempt timed 8 -> 128 blocks of 2^17: BOTH landed on the
-    # ~25 ms axon dispatch floor (t2 <= t1, slope undefined) -- i.e. the
-    # kernel is much faster than that window.  Re-time with an 8x size
-    # spread (67 MB -> 537 MB input) so the slope is resolvable.
+    # measurement history: 8 -> 128 blocks of 2^17 put BOTH points on
+    # the ~25 ms axon dispatch floor (slope undefined); 128 -> 1024
+    # gave t = 25.08 -> 26.96 ms => ~250 GB/s but only a 1.9 ms delta.
+    # Time 1024 -> 4096 (537 MB -> 2.1 GB input) for a >= 6 ms delta.
     n_blk = 1 << 17
-    t1, by1 = run(128, n_blk)
-    t2, by2 = run(1024, n_blk)
+    t1, by1 = run(1024, n_blk)
+    t2, by2 = run(4096, n_blk)
     out2 = {
         "group_slope_GBps": round((by2 - by1) / 1e9 / (t2 - t1), 3)
         if t2 > t1 else None,
         "group_large_GBps": round(by2 / 1e9 / t2, 3),
-        "t_128": round(t1 * 1e3, 2), "t_1024": round(t2 * 1e3, 2),
+        "t_1024_ms": round(t1 * 1e3, 2), "t_4096_ms": round(t2 * 1e3, 2),
     }
     print(json.dumps(out2), flush=True)
 
