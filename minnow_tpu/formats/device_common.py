@@ -1,0 +1,51 @@
+"""Shared device-read fast path: bulk float decode through the
+group-aligned fused Pallas kernel (ops/pallas_codec.py), used by the
+minh and minp device readers.
+
+ONE HBM pass instead of the XLA path's transpose round-trips; blocks are
+padded up to the kernel's 32*G*8 alignment (zero words decode to garbage
+rows that are sliced off).  Bit-identity with the XLA path is gated
+on-chip by ops/validate.validate_pallas_group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["group_decode"]
+
+# tests flip this to exercise the Pallas group path in interpret mode on
+# the CPU backend (production: real-kernel on TPU only)
+INTERPRET = False
+
+
+def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
+                 dither):
+    """(B, W) words -> (B, n) float32 via the group kernel, or None when
+    the shape/backend/dither doesn't qualify (caller falls back to the
+    XLA path)."""
+    if dither not in ("none", "midpoint"):
+        return None
+    import jax
+
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return None
+    from ..ops import pallas_codec
+
+    if not (0 < bits <= 32 and pixels.max() < (1 << 24)):
+        return None
+    G = pallas_codec.group_tiles(bits)
+    align = 32 * G * 8
+    n_pad = -(-n // align) * align
+    # small blocks: padding waste would exceed the kernel's win
+    if n < align or not pallas_codec.supported_group(bits, n_pad, 1):
+        return None
+    w_pad = (n_pad // 32) * bits
+    if words.shape[1] < w_pad:
+        words = np.pad(words, ((0, 0), (0, w_pad - words.shape[1])))
+    t_g = (n_pad // 32) // G
+    words2d = words[:, :w_pad].reshape(len(words) * t_g, G * bits)
+    dec = np.asarray(pallas_codec.decode_float_pallas_group(
+        words2d, mins, lows, highs, pixels, periodic, int(bits),
+        int(n_pad), dither=dither, interpret=INTERPRET))
+    return dec.reshape(len(words), n_pad)[:, :n]

@@ -20,45 +20,8 @@ from . import minh as minh_mod
 
 __all__ = ["read_floats", "read_ints"]
 
-# tests flip this to exercise the Pallas group path in interpret mode on
-# the CPU backend (production: real-kernel on TPU only)
-_INTERPRET = False
-
-
-def _group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
-                  dither):
-    """Bulk decode through the group-aligned fused Pallas kernel
-    (ops/pallas_codec.py): ONE HBM pass instead of the XLA path's
-    transpose round-trips.  ``n`` is padded up to the kernel's alignment
-    (zero words decode to garbage rows that are sliced off); returns
-    None when the shape/backend doesn't qualify, and the caller falls
-    back to the XLA path.  Bit-identity with that path is gated on-chip
-    by ops/validate.validate_pallas_group."""
-    if dither not in ("none", "midpoint"):
-        return None
-    import jax
-
-    if jax.default_backend() != "tpu" and not _INTERPRET:
-        return None
-    from ..ops import pallas_codec
-
-    if not (0 < bits <= 32 and pixels.max() < (1 << 24)):
-        return None
-    G = pallas_codec.group_tiles(bits)
-    align = 32 * G * 8
-    n_pad = -(-n // align) * align
-    # small blocks: padding waste would exceed the kernel's win
-    if n < align or not pallas_codec.supported_group(bits, n_pad, 1):
-        return None
-    w_pad = (n_pad // 32) * bits
-    if words.shape[1] < w_pad:
-        words = np.pad(words, ((0, 0), (0, w_pad - words.shape[1])))
-    t_g = (n_pad // 32) // G
-    words2d = words[:, :w_pad].reshape(len(words) * t_g, G * bits)
-    dec = np.asarray(pallas_codec.decode_float_pallas_group(
-        words2d, mins, lows, highs, pixels, periodic, int(bits),
-        int(n_pad), dither=dither, interpret=_INTERPRET))
-    return dec.reshape(len(words), n_pad)[:, :n]
+# the shared Pallas bulk-decode fast path (see device_common.group_decode)
+from .device_common import group_decode as _group_decode  # noqa: E402
 
 
 def _gather_raw(reader, c: int):

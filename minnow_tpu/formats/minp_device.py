@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..ops import bitpack, codec
-from . import minp as minp_fmt
+from . import device_common, minp as minp_fmt
 
 __all__ = ["read_vectors"]
 
@@ -56,11 +56,18 @@ def read_vectors(reader: minp_fmt.Reader, dither: str = "none",
             block_ids = np.asarray([k * s3 + sc for sc in ids], np.int64)
             fast = (bits <= 32 and pixels.max() <= (1 << 24)
                     and np.abs(mins).max() < (1 << 30))
-            decode = codec.decode_float_blocks32 if fast \
-                else codec.decode_float_blocks
-            dec = np.asarray(decode(
-                words, mins, lows, highs, pixels, periodic, block_ids,
-                int(bits), int(n_sub3), dither=dither, seed=seed))
+            dec = None
+            if fast and bits:
+                dec = device_common.group_decode(
+                    words, mins, lows, highs, pixels, periodic,
+                    int(bits), int(n_sub3), dither)
+            if dec is None:
+                decode = codec.decode_float_blocks32 if fast \
+                    else codec.decode_float_blocks
+                dec = np.asarray(decode(
+                    words, mins, lows, highs, pixels, periodic,
+                    block_ids, int(bits), int(n_sub3), dither=dither,
+                    seed=seed))
             for row, sc in enumerate(ids):
                 out_rows[sc] = dec[row]
 

@@ -206,9 +206,11 @@ class BlockEncoder:
             return None  # mixed predicted widths: no single static pack
         bits_pred = preds.pop()
         pix_max = int(pixels.max())
-        # prefer the group-aligned kernel (dense 128-multiple HBM refs:
-        # ~250 GB/s on v5e vs ~57 for the per-tile layout,
-        # tools/group_encode.log); fall back per-tile, then XLA
+        # prefer the group-aligned kernel (dense 128-multiple HBM refs;
+        # 64.8 GB/s slope at 1024->4096 blocks of 2^17 on v5e --
+        # earlier 57/250 GB/s readings at smaller sizes were dispatch-
+        # floor artifacts, tools/group_encode.log); fall back per-tile,
+        # then XLA
         use_group = pallas_encode.supported_group_enc(bits_pred, n,
                                                       pix_max)
         if not use_group and \

@@ -71,10 +71,12 @@ def test_device_group_path_interpret(tmp_path, monkeypatch):
     w.block([x])
     w.close()
 
+    from minnow_tpu.formats import device_common
+
     r = minh.open(fname, dither="none")
     host = r.floats(["x"])["x"]
     used = []
-    orig = minh_device._group_decode
+    orig = device_common.group_decode
 
     def spy(*a, **k):
         out = orig(*a, **k)
@@ -82,7 +84,7 @@ def test_device_group_path_interpret(tmp_path, monkeypatch):
         return out
 
     monkeypatch.setattr(minh_device, "_group_decode", spy)
-    monkeypatch.setattr(minh_device, "_INTERPRET", True)
+    monkeypatch.setattr(device_common, "INTERPRET", True)
     dev = minh_device.read_floats(r, ["x"], dither="none")["x"]
     r.close()
     assert any(used), "group decode path did not engage"

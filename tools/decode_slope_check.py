@@ -18,10 +18,10 @@ import time
 
 import numpy as np
 
-B = 64
 BITS = 18
-N1 = 1 << 21
-N2 = 1 << 23
+N = 1 << 21
+B1 = 64
+B2 = 512
 
 
 def _time(fn, *args, iters=3, reps=5, sync=None):
@@ -56,54 +56,60 @@ def main():
     rng = np.random.default_rng(9)
     g = pallas_codec.group_tiles(BITS)
 
-    def make(n):
-        t = n // 32
-        w = rng.integers(0, 1 << 32, (B, t * BITS),
+    def make(b):
+        t = N // 32
+        w = rng.integers(0, 1 << 32, (b, t * BITS),
                          dtype=np.uint64).astype(np.uint32)
         # in-range pixel values irrelevant for timing; mask to width so
         # the +min/bound path sees plausible magnitudes
-        mins = np.zeros(B, np.int64)
-        lowv = np.zeros(B, np.float32)
-        highv = np.full(B, 250.0, np.float32)
-        pixv = np.full(B, 250000, np.int64)
-        per = np.ones(B, bool)
-        return w, mins, lowv, highv, pixv, per, B * n * 4
+        mins = np.zeros(b, np.int64)
+        lowv = np.zeros(b, np.float32)
+        highv = np.full(b, 250.0, np.float32)
+        pixv = np.full(b, 250000, np.int64)
+        per = np.ones(b, bool)
+        return w, mins, lowv, highv, pixv, per, b * N * 4
 
-    def xla_decode(n):
+    def xla_decode(b):
         @jax.jit
         def decode(words, mins, lowv, highv, pixv):
-            q = bitpack.unpack_batch32(words, BITS, n).astype(jnp.int32) \
+            q = bitpack.unpack_batch32(words, BITS, N).astype(jnp.int32) \
                 + mins[:, None]
             q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
             return codec.dequantize24(q, lowv[:, None], highv[:, None],
                                       pixv[:, None])
 
-        w, mins, lowv, highv, pixv, per, by = make(n)
+        w, mins, lowv, highv, pixv, per, by = make(b)
         args = tuple(jax.device_put(a)
                      for a in (w, mins, lowv, highv, pixv))
         return _time(decode, *args, sync=lambda o: o[0, :1]), by
 
-    def pg_decode(n, rows):
-        w, mins, lowv, highv, pixv, per, by = make(n)
+    def pg_decode(b, rows):
+        w, mins, lowv, highv, pixv, per, by = make(b)
         w2d = jax.device_put(w.reshape(-1, g * BITS))
 
         def decode(w2d, mins, lowv, highv, pixv, per):
             return pallas_codec.decode_float_pallas_group(
-                w2d, mins, lowv, highv, pixv, per, BITS, n,
+                w2d, mins, lowv, highv, pixv, per, BITS, N,
                 dither="none", rows=rows)
 
         args = (w2d, mins, lowv, highv, pixv, per)
         return _time(decode, *args), by
 
-    for name, fn in [("xla", xla_decode),
-                     ("pg_r0", lambda n: pg_decode(n, 0)),
-                     ("pg_r512", lambda n: pg_decode(n, 512))]:
-        t1, by1 = fn(N1)
-        t2, by2 = fn(N2)
+    # rows=512 exceeds the 16 MB scoped-VMEM stack (18.75M, measured);
+    # 256 is the largest safe setting.  The XLA path's unpack gather
+    # materializes ~3x the output in intermediates, so its large point
+    # stays at b=256 (b=512 OOMed 16 GB HBM); its slope resolves anyway
+    # because the path is slow.
+    for name, fn, b2 in [("xla", xla_decode, 256),
+                         ("pg_r0", lambda b: pg_decode(b, 0), B2),
+                         ("pg_r256", lambda b: pg_decode(b, 256), B2)]:
+        t1, by1 = fn(B1)
+        t2, by2 = fn(b2)
         dt = t2 - t1
         print(json.dumps({
-            "exp": name, "t_2e21_ms": round(t1 * 1e3, 2),
-            "t_2e23_ms": round(t2 * 1e3, 2),
+            "exp": name, "b": [B1, b2],
+            "t_small_ms": round(t1 * 1e3, 2),
+            "t_large_ms": round(t2 * 1e3, 2),
             "slope_GBps": round((by2 - by1) / 1e9 / dt, 2)
             if dt > 1e-4 else None,
             "large_GBps": round(by2 / 1e9 / t2, 2),
