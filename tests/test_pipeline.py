@@ -194,6 +194,34 @@ def test_pallas_encode_group_variant_byte_identical():
     np.testing.assert_array_equal(got.bits, want.bits)
 
 
+def test_pallas_encode_window_boundary_byte_identical():
+    """Periodic windows straddling exactly pixels//2 -- the boundary of
+    the wide-window select in the kernel's derived recentered stats --
+    must byte-match the XLA path on both sides."""
+    n = 512
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    half = pixels // 2
+    rows = []
+    for span in (half - 2, half - 1, half, half + 1, half + 2):
+        # window anchored across the periodic seam: pixels
+        # {p-1, 0, .., span-1} -> width span+1 around the boundary
+        q = np.linspace(0, span - 1, n - 1).astype(np.int64)
+        xr = (q.astype(np.float64) * dx + dx * 0.25).astype(np.float32)
+        rows.append(np.concatenate([[np.float32(249.9995)], xr]))
+    x = np.stack(rows)
+
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels)
+    got = BlockEncoder(pallas=True).encode_float_blocks(
+        x, low, high, pixels)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+    # the sweep must actually cross the select boundary
+    assert want.mins.min() != want.mins.max()
+
+
 def test_pallas_encode_path_unsupported_shape_falls_back():
     rng = np.random.default_rng(12)
     x = rng.uniform(0, 9.9, (3, 96)).astype(np.float32)  # n % 256 != 0
