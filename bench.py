@@ -544,13 +544,18 @@ def bench_native_baseline(n=1 << 22):
     dxq = spec.quantize_dx(0.0, 250.0, pixels)
     out = np.zeros(spec.array_bytes(18, n) + 16, np.uint8)
 
-    t0 = time.perf_counter()
-    lib.mnw_quantize(x.ctypes.data, n, np.float32(0.0), dxq, q.ctypes.data)
-    lib.mnw_delta_stats(q.ctypes.data, n, deltas.ctypes.data,
-                        ctypes.byref(mn), ctypes.byref(maxd))
-    lib.mnw_pack(deltas.ctypes.data, n, 18, out.ctypes.data, 1)
-    t = time.perf_counter() - t0
-    return x.nbytes / 1e9 / t
+    # best-of-3: a one-shot read is hostage to transient host load and
+    # has produced 0.07-0.27 GB/s for the same code across runs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lib.mnw_quantize(x.ctypes.data, n, np.float32(0.0), dxq,
+                         q.ctypes.data)
+        lib.mnw_delta_stats(q.ctypes.data, n, deltas.ctypes.data,
+                            ctypes.byref(mn), ctypes.byref(maxd))
+        lib.mnw_pack(deltas.ctypes.data, n, 18, out.ctypes.data, 1)
+        best = min(best, time.perf_counter() - t0)
+    return x.nbytes / 1e9 / best
 
 
 def main():

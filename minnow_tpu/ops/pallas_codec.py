@@ -358,6 +358,52 @@ def _decode_kernel_group(bits: int, G: int, dither: str, w_ref, mn_ref,
     out_ref[...] = out.T                             # (r, G*32) f32
 
 
+def _decode_kernel_group_multi(bits: int, G: int, kpb: int, t_g: int,
+                               dither: str, w_ref, mn_ref, low_ref,
+                               dx_ref, pix_ref, per_ref, out_ref,
+                               wt_scr, q_scr):
+    """Multi-block instance: one grid step decodes ``kpb`` consecutive
+    blocks (r = kpb*t_g word-rows).  Small t_g otherwise makes the grid
+    b instances of tiny tiles, and the measured per-instance overhead
+    (DMA setup/semaphores) dominates: the same kernel ran 92-364 GB/s at
+    (4096, t_g=64) run-to-run vs a stable ~330 at (512, t_g=1024).
+    Per-block scalars become per-COLUMN vectors built from SMEM by
+    ``kpb`` masked selects (columns of the planar q are word-rows)."""
+    i = pl.program_id(0)
+    _unpack_group_tiles(bits, G, w_ref, wt_scr, q_scr)
+    q = q_scr[...]                                   # (G*32, r) int32
+    r = kpb * t_g
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    base = i * jnp.int32(kpb)
+
+    def vec(ref, fill):
+        row = jnp.full((1, r), fill, ref.dtype)
+        for u in range(kpb):
+            sel = (col // jnp.int32(t_g)) == jnp.int32(u)
+            row = jnp.where(sel, ref[base + jnp.int32(u)], row)
+        return row
+
+    mn_row = vec(mn_ref, jnp.int32(0))
+    low_row = vec(low_ref, jnp.float32(0))
+    dx_row = vec(dx_ref, jnp.float32(0))
+    p = vec(pix_ref, jnp.int32(1))
+    per_row = vec(per_ref, jnp.int32(0))
+
+    q = q + mn_row
+    zero = jnp.int32(0)
+    qb = q + jnp.where(q < zero, p, zero)
+    qb = qb - jnp.where(qb >= p, p, zero)
+    q = jnp.where(per_row != zero, qb, q)
+    v = q.astype(jnp.float32)
+    if dither == "midpoint":
+        v = v + jnp.float32(0.5)
+    prod = dx_row * v
+    # FMA blocker (same as _decode_body): select on a predicate the
+    # compiler cannot prove, so dx*v + low is not contracted
+    prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
+    out_ref[...] = (prod + low_row).T                # (r, G*32) f32
+
+
 def _unpack_kernel_group(bits: int, G: int, w_ref, out_ref, wt_scr,
                          q_scr):
     _unpack_group_tiles(bits, G, w_ref, wt_scr, q_scr)
@@ -420,21 +466,52 @@ def decode_float_pallas_group(words2d, mins, low, high, pixels,
     if words2d.shape != (b * t_g, gw):
         raise ValueError("words2d must be (B*t/G, G*bits), got %s"
                          % (words2d.shape,))
-    r = _pick_r_group(t_g, rows)
     from . import codec as _codec
 
     low32 = low.astype(jnp.float32)
     dx = _codec._dx64(low32, high.astype(jnp.float32),
                       pixels).astype(jnp.float32)
+    args = (words2d, mins.astype(jnp.int32), low32, dx,
+            pixels.astype(jnp.int32), periodic.astype(jnp.int32))
+
+    # small blocks: merge kpb consecutive blocks per grid instance so
+    # per-instance overhead amortizes (see _decode_kernel_group_multi)
+    kpb = 1
+    if not rows and t_g < 128:
+        for cand in range(min(128 // t_g, b), 0, -1):
+            if b % cand == 0:
+                kpb = cand
+                break
+    if kpb > 1:
+        r = kpb * t_g
+        scalar_spec = pl.BlockSpec((b,), lambda i, j: (np.int32(0),),
+                                   memory_space=pltpu.SMEM)
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"))
+        call = pl.pallas_call(
+            functools.partial(_decode_kernel_group_multi, bits, G, kpb,
+                              t_g, dither),
+            grid=(b // kpb, 1),
+            in_specs=[pl.BlockSpec((r, gw),
+                                   lambda i, j: (i, np.int32(0)))]
+            + [scalar_spec] * 5,
+            out_specs=pl.BlockSpec((r, ge),
+                                   lambda i, j: (i, np.int32(0))),
+            out_shape=jax.ShapeDtypeStruct((b * t_g, ge), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((gw, r), jnp.int32),
+                            pltpu.VMEM((ge, r), jnp.int32)],
+            interpret=interpret,
+            **kwargs,
+        )
+        return call(*args)
+
+    r = _pick_r_group(t_g, rows)
     call = _group_call(
         functools.partial(_decode_kernel_group, bits, G, dither),
         b, t_g, r, gw, ge, 5, jnp.float32, interpret)
-    return call(words2d,
-                mins.astype(jnp.int32),
-                low32,
-                dx,
-                pixels.astype(jnp.int32),
-                periodic.astype(jnp.int32))
+    return call(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",

@@ -236,30 +236,34 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
             raise AssertionError("group unpack diverges at bits=%d"
                                  % bits)
 
-    # fused decode vs the XLA decode, bitwise
+    # fused decode vs the XLA decode, bitwise -- both kernel paths:
+    # t_g=8 engages the multi-block-per-instance variant (kpb=4 here),
+    # t_g=128 the per-block variant
     bits = 18
     g = pallas_codec.group_tiles(bits)
-    n, bsz = 32 * g * 8, 4
     pixels = 250000
-    vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
-    words = np.stack([
-        bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
-        for v in vals])
-    mins = rng.integers(-3, 3, bsz).astype(np.int64)
-    low = rng.uniform(-10, 0, bsz).astype(np.float32)
-    high = (low + rng.uniform(100, 300, bsz)).astype(np.float32)
-    pix = np.full(bsz, pixels, np.int64)
-    per = np.array([True, True, False, True])
-    ref = np.asarray(codec.decode_float_blocks32(
-        words, mins, low, high, pix, per, np.arange(bsz), bits, n,
-        dither="none"))
-    got = np.asarray(pallas_codec.decode_float_pallas_group(
-        words.reshape(-1, g * bits), mins, low, high, pix, per, bits, n,
-        dither="none", interpret=interpret))
-    if not np.array_equal(ref.view(np.uint32),
-                          got.reshape(bsz, n).view(np.uint32)):
-        raise AssertionError("group fused decode diverges from XLA "
-                             "decode")
+    for t_g, bsz in ((8, 4), (128, 2)):
+        n = 32 * g * t_g
+        vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
+        words = np.stack([
+            bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+            for v in vals])
+        mins = rng.integers(-3, 3, bsz).astype(np.int64)
+        low = rng.uniform(-10, 0, bsz).astype(np.float32)
+        high = (low + rng.uniform(100, 300, bsz)).astype(np.float32)
+        pix = np.full(bsz, pixels, np.int64)
+        per = np.arange(bsz) != 2
+        ref = np.asarray(codec.decode_float_blocks32(
+            words, mins, low, high, pix, per, np.arange(bsz), bits, n,
+            dither="none"))
+        got = np.asarray(pallas_codec.decode_float_pallas_group(
+            words.reshape(-1, g * bits), mins, low, high, pix, per,
+            bits, n, dither="none", interpret=interpret))
+        if not np.array_equal(ref.view(np.uint32),
+                              got.reshape(bsz, n).view(np.uint32)):
+            raise AssertionError("group fused decode diverges from XLA "
+                                 "decode at t_g=%d" % t_g)
+    n, bsz = 32 * g * 8, 4  # the encode check below reuses this shape
 
     # fused group encode vs host spec bytes
     lowf, highf, dx = 0.0, 250.0, 0.001
