@@ -392,12 +392,33 @@ def supported_group_enc(bits: int, n: int, pixels_max: int) -> bool:
             and n <= (32 * g * 256) and pixels_max < (1 << 24))
 
 
-def _encode_kernel_group(bits: int, G: int, cs: int, x_ref, low_ref,
+def _encode_kernel_group(bits: int, G: int, cs: int, kpb: int,
+                         t_g: int, x_ref, low_ref,
                          b_ref, eb_ref, m0_ref, m1_ref, pix_ref,
                          per_ref, w_ref, mn_ref, maxd_ref, valid_ref,
                          q_scr, qt_scr, wt_scr):
+    """Encode ``kpb`` consecutive blocks per grid instance (static
+    unroll; block u occupies rows [u*t_g, (u+1)*t_g) of the refs and
+    reuses the (t_g, G*32) quantize scratch).  Merging exists because
+    per-instance overhead (~4-5 us DMA/semaphore setup, measured via
+    the decode twin) dominates at small t_g: b=4096 single-block
+    instances cost ~18 ms of pure overhead."""
     i = pl.program_id(0)
-    t_g = x_ref.shape[0]
+    for u in range(kpb):
+        _encode_group_block(bits, G, cs, t_g, u * t_g,
+                            i * jnp.int32(kpb) + jnp.int32(u),
+                            x_ref, low_ref, b_ref, eb_ref, m0_ref,
+                            m1_ref, pix_ref, per_ref, w_ref, mn_ref,
+                            maxd_ref, valid_ref, q_scr, qt_scr, wt_scr)
+
+
+def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
+                        i, x_ref, low_ref,
+                        b_ref, eb_ref, m0_ref, m1_ref, pix_ref,
+                        per_ref, w_ref, mn_ref, maxd_ref, valid_ref,
+                        q_scr, qt_scr, wt_scr):
+    """One block's fused encode: rows [ro, ro+t_g) of x_ref/w_ref,
+    scalar index ``i`` (traced), scratch indexed from row 0."""
     steps = jnp.int32(t_g // cs)
     zero = jnp.int32(0)
     p = pix_ref[i]
@@ -406,7 +427,7 @@ def _encode_kernel_group(bits: int, G: int, cs: int, x_ref, low_ref,
     # pass 1: quantize -- elementwise on dense (cs, G*32) chunks (full
     # lane occupancy, unlike the (chunk, 32) layout above)
     def quant_body(c, ex_carry):
-        xc = x_ref[pl.ds(c * np.int32(cs), cs), :]
+        xc = x_ref[pl.ds(np.int32(ro) + c * np.int32(cs), cs), :]
         diff = xc - low_ref[i]           # f32 sub, exact per spec
         qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
                                    m0_ref[i], m1_ref[i])
@@ -484,7 +505,7 @@ def _encode_kernel_group(bits: int, G: int, cs: int, x_ref, low_ref,
             return carry2
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
                           zero)
-        w_ref[pl.ds(c * np.int32(cs), cs), :] = \
+        w_ref[pl.ds(np.int32(ro) + c * np.int32(cs), cs), :] = \
             bc(wt_scr[...].T, jnp.uint32)  # (cs, G*bits)
         return carry
     jax.lax.fori_loop(jnp.int32(0), steps, pack_body, zero)
@@ -521,15 +542,25 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
         cs //= 2
     cs = max(cs, 8)
 
+    # merge kpb consecutive blocks per grid instance at small t_g (the
+    # per-instance overhead otherwise dominates; see the kernel doc)
+    kpb = 1
+    if not rows and t_g < 128:
+        for cand in range(min(128 // t_g, bsz), 0, -1):
+            if bsz % cand == 0:
+                kpb = cand
+                break
+
     scalar = pl.BlockSpec((bsz,), lambda i: (np.int32(0),),
                           memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        functools.partial(_encode_kernel_group, bits, g, cs),
-        grid=(bsz,),
-        in_specs=[pl.BlockSpec((t_g, ge), lambda i: (i, np.int32(0)))]
+        functools.partial(_encode_kernel_group, bits, g, cs, kpb, t_g),
+        grid=(bsz // kpb,),
+        in_specs=[pl.BlockSpec((kpb * t_g, ge),
+                               lambda i: (i, np.int32(0)))]
         + [scalar] * 7,
         out_specs=[
-            pl.BlockSpec((t_g, gw), lambda i: (i, np.int32(0))),
+            pl.BlockSpec((kpb * t_g, gw), lambda i: (i, np.int32(0))),
             scalar,
             scalar,
             scalar,

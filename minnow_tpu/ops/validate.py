@@ -283,6 +283,15 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
                                pallas_encode.encode_float_pallas_group(
         x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
         bits, n, interpret=interpret))
+    # explicit rows disables block merging: the kpb=1 kernel path must
+    # produce the same words
+    w1, mn1, _, _ = (np.asarray(a) for a in
+                     pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=interpret, rows=8))
+    if not (np.array_equal(w1, words) and np.array_equal(mn1, mn_)):
+        raise AssertionError("group encode kpb=1 and merged paths "
+                             "disagree")
     if not valid.all():
         raise AssertionError("group encode failed to certify in-range "
                              "blocks")
