@@ -228,6 +228,39 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
     out["encode_xla_bigblock_GBps"] = round(
         _safe_slope(by1, by2, t1, t2), 3)
 
+    from minnow_tpu.ops import pallas_encode
+
+    if jax.default_backend() == "tpu" \
+            and pallas_encode.supported_pack_enc(bits, n, pixels):
+        # two-dispatch big-block encode (XLA stats + stateless pack
+        # kernel); words byte-compared against the XLA encode on-device
+        g = pallas_codec.group_tiles(bits)
+
+        def big_args(a):
+            x = a[0]
+            x2d = jax.block_until_ready(jax.jit(
+                lambda v: v.reshape(-1, g * 32))(x))
+            return (x2d, a[1], a[5], a[6], a[7], a[8], a[2], a[4])
+
+        def encode_big(x2d, lowv, db, deb, dm0, dm1, pixv, per):
+            return pallas_encode.encode_float_pallas_bigblock(
+                x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n)
+
+        e1 = big_args(a1)
+        e2 = big_args(a2)
+        t1 = _time(encode_big, *e1, sync=lambda o: o[1])
+        t2 = _time(encode_big, *e2, sync=lambda o: o[1])
+        out["encode_pallas_bigblock_GBps"] = round(
+            _safe_slope(by1, by2, t1, t2), 3)
+        import jax.numpy as jnp
+        wx, _ = encode(*a1)
+        wb, mnb, _, vb = encode_big(*e1)
+        eq = jax.jit(lambda p, q: jnp.all(p == q))
+        assert np.asarray(vb).all()
+        assert bool(eq(wb.reshape(wx.shape), wx)), \
+            "big-block encode words diverged from XLA on chip"
+        del e1, e2, wx, wb
+
     del a1, a2  # free the encode inputs before the decode allocations
 
     if jax.default_backend() == "tpu" \
@@ -577,7 +610,8 @@ def main():
     try:
         big = bench_big_blocks()
         extra.update(big)
-        enc_gbs = max(enc_gbs, big.get("encode_xla_bigblock_GBps", 0))
+        enc_gbs = max(enc_gbs, big.get("encode_xla_bigblock_GBps", 0),
+                      big.get("encode_pallas_bigblock_GBps", 0))
         dec_gbs = max(dec_gbs,
                       big.get("decode_pallas_group_bigblock_GBps", 0))
     except Exception as e:  # noqa: BLE001 - secondary configs are best-effort

@@ -228,6 +228,46 @@ def _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q: bool):
     return deltas, mn, maxd, valid
 
 
+@jax.jit
+def float_block_stats32(x, low, pixels, n, periodic, b, eb, m0, m1):
+    """Stats-only float encode prep: one fused HBM read of ``x``, no
+    delta materialization.  Returns ``(mn, maxd, m, valid)`` where
+    ``m`` is the periodic recenter offset a pack pass must apply --
+    the big-block two-dispatch encode's first dispatch (the fused
+    Pallas kernel caps block length at 512k; above it, stats here +
+    ops/pallas_encode.pack_float_pallas_group).  The recentered min/max
+    derive from the one-pass window reduction exactly as in the fused
+    kernels (small window -> [m, m+w); else plain min/max)."""
+    from . import fastdiv
+
+    width = x.shape[1]
+    mask = _mask(n, width)
+    diff = x.astype(jnp.float32) - low[:, None]
+    q, exact = fastdiv.quantize_fast(diff, b[:, None], eb[:, None],
+                                     m0[:, None], m1[:, None],
+                                     out32=True)
+    all_exact = jnp.where(mask, exact, True).all(axis=1)
+    p32 = pixels.astype(jnp.int32)
+    p = p32[:, None]
+    in_range = jnp.where(mask, (q >= 0) & (q < p), True).all(axis=1)
+    x0 = q[:, :1]
+    y = periodic_distance(q, x0, p)
+    ymin = _masked_min(y, mask)
+    ymax = _masked_max(y, mask)
+    w = ymax - ymin + 1
+    m = x0[:, 0] + ymin
+    m = jnp.where(m < 0, m + p32, m)
+    small = w <= p32 // 2
+    m = jnp.where(small, m, 0)
+    qmin = _masked_min(q, mask)
+    qmax = _masked_max(q, mask)
+    shifted = periodic & small
+    mn = jnp.where(shifted, m, qmin)
+    mx = jnp.where(shifted, m + w - 1, qmax)
+    valid = (in_range | ~periodic) & all_exact
+    return mn, mx - mn, jnp.where(periodic, m, 0), valid
+
+
 @partial(jax.jit, static_argnames=("clamp_q",))
 def prepare_float_blocks_fast32(x, low, pixels, n, periodic,
                                 b, eb, m0, m1, clamp_q: bool = False):

@@ -515,6 +515,138 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
     valid_ref[i] = ((in_range | ~per) & all_exact).astype(jnp.int32)
 
 
+def supported_pack_enc(bits: int, n: int, pixels_max: int) -> bool:
+    """Shapes the two-dispatch big-block encode handles: the stateless
+    pack kernel streams (cs, G*32) chunks, so there is NO upper block
+    length cap -- only the group alignment."""
+    from .pallas_codec import group_tiles
+
+    g = group_tiles(bits)
+    return (0 < bits <= 30 and n % (32 * g * 8) == 0
+            and pixels_max < (1 << 24))
+
+
+def _pack_kernel_group(bits: int, G: int, x_ref, low_ref, b_ref,
+                       eb_ref, m0_ref, m1_ref, pix_ref, per_ref, m_ref,
+                       mn_ref, w_ref, qt_scr, wt_scr):
+    """Stateless chunk pack: re-quantize + recenter with the known
+    offset ``m`` + delta vs the known block min + planar pack.  No
+    cross-chunk state, so block length is unbounded (the stats come
+    from codec.float_block_stats32's fused XLA pass)."""
+    from .pallas_codec import _tile_step
+
+    i = pl.program_id(0)
+    zero = jnp.int32(0)
+    bc = jax.lax.bitcast_convert_type
+    xc = x_ref[...]                       # (cs, G*32)
+    diff = xc - low_ref[i]
+    qc, _ = _quantize_limb(diff, b_ref[i], eb_ref[i], m0_ref[i],
+                           m1_ref[i])
+    p = pix_ref[i]
+    m = m_ref[i]
+    per = per_ref[i] != zero
+    qb = qc + jnp.where(qc < m, p, zero)
+    qb = qb - jnp.where(qb >= m + p, p, zero)
+    qc = jnp.where(per, qb, qc)
+    qt_scr[...] = (qc - mn_ref[i]).T      # (G*32, cs) in-VMEM transpose
+    ts = _tile_step(bits)
+
+    def step_body(j, carry):
+        tiles = bc(qt_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :],
+                   jnp.uint32)
+        planar = jnp.concatenate(
+            [_pack_tile_planar(tiles[u * 32:(u + 1) * 32], bits)
+             for u in range(ts)], axis=0)
+        wt_scr[pl.ds(j * np.int32(ts * bits), ts * bits), :] = \
+            bc(planar, jnp.int32)
+        return carry
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
+                      zero)
+    w_ref[...] = bc(wt_scr[...].T, jnp.uint32)  # (cs, G*bits)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "rows"))
+def pack_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
+                            m, mn, bits: int, n: int,
+                            interpret: bool = False, rows: int = 0):
+    """Second dispatch of the big-block encode: (B*t/G, G*32) float32 +
+    per-block stats -> (B*t/G, G*bits) packed words at static width
+    ``bits``.  Certification comes from the stats pass (same fastdiv
+    semantics; ops/validate.py proves quantize_fast == _quantize_limb
+    bitwise on the backend)."""
+    from .pallas_codec import group_tiles
+
+    g = group_tiles(bits)
+    bsz = low.shape[0]
+    t_g = (n // 32) // g
+    ge = g * 32
+    gw = g * bits
+    if x2d.shape != (bsz * t_g, ge):
+        raise ValueError("x2d must be (B*t/G, G*32), got %s"
+                         % (x2d.shape,))
+    cs = min(rows or 128, t_g)
+    while t_g % cs:
+        cs //= 2
+    cs = max(cs, 8)
+    steps = t_g // cs
+
+    scalar = pl.BlockSpec((bsz,), lambda i, j: (np.int32(0),),
+                          memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
+        functools.partial(_pack_kernel_group, bits, g),
+        grid=(bsz, steps),
+        in_specs=[pl.BlockSpec((cs, ge),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0)))]
+        + [scalar] * 9,
+        out_specs=pl.BlockSpec((cs, gw),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((bsz * t_g, gw), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((ge, cs), jnp.int32),
+                        pltpu.VMEM((gw, cs), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )(x2d,
+      low.astype(jnp.float32),
+      b.astype(jnp.uint32),
+      eb.astype(jnp.int32),
+      m0.astype(jnp.uint32),
+      m1.astype(jnp.uint32),
+      pixels.astype(jnp.int32),
+      periodic.astype(jnp.int32),
+      m.astype(jnp.int32),
+      mn.astype(jnp.int32))
+
+
+def encode_float_pallas_bigblock(x2d, low, b, eb, m0, m1, pixels,
+                                 periodic, bits: int, n: int,
+                                 interpret: bool = False):
+    """Two-dispatch encode for blocks beyond the fused kernel's 512k
+    cap: fused XLA stats pass (one HBM read, no materialization) + the
+    stateless pack kernel.  Same return contract as
+    :func:`encode_float_pallas_group`."""
+    import jax.numpy as jnp_  # local alias; jnp already imported
+
+    from . import codec
+
+    bsz = low.shape[0]
+    lens = jnp_.full((bsz,), n, dtype=jnp_.int64)
+    mn, maxd, m, valid = codec.float_block_stats32(
+        x2d.reshape(bsz, n), low.astype(jnp_.float32),
+        pixels, lens, periodic, b, eb, m0, m1)
+    words = pack_float_pallas_group(
+        x2d, low, b, eb, m0, m1, pixels, periodic, m, mn, bits, n,
+        interpret=interpret)
+    return (words, mn.astype(jnp_.int64), maxd.astype(jnp_.int64),
+            valid)
+
+
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
                                              "rows"))
 def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,

@@ -222,8 +222,8 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
 
     rng = np.random.default_rng(seed)
 
-    # unpack: even (G=64) and odd (G=128) widths
-    for bits in (18, 13):
+    # unpack: even (G=64) and odd (G=128) widths + the 1/32 edges
+    for bits in (18, 13, 1, 32):
         g = pallas_codec.group_tiles(bits)
         n = 32 * g * 8
         vals = rng.integers(0, 1 << bits, (3, n), dtype=np.uint64)
@@ -292,6 +292,17 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
     if not (np.array_equal(w1, words) and np.array_equal(mn1, mn_)):
         raise AssertionError("group encode kpb=1 and merged paths "
                              "disagree")
+
+    # the big-block two-dispatch encode (XLA stats + stateless pack
+    # kernel) must produce the same words and stats as the fused kernel
+    wb, mnb, maxdb, vb = (np.asarray(a) for a in
+                          pallas_encode.encode_float_pallas_bigblock(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=interpret))
+    if not (np.array_equal(wb, words) and np.array_equal(mnb, mn_)
+            and np.array_equal(maxdb, maxd) and vb.all()):
+        raise AssertionError("big-block two-dispatch encode diverges "
+                             "from the fused kernel")
     if not valid.all():
         raise AssertionError("group encode failed to certify in-range "
                              "blocks")

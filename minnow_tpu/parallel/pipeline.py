@@ -213,7 +213,12 @@ class BlockEncoder:
         # then XLA
         use_group = pallas_encode.supported_group_enc(bits_pred, n,
                                                       pix_max)
-        if not use_group and \
+        # above the fused kernel's 512k block cap: two-dispatch encode
+        # (fused XLA stats + stateless pack kernel)
+        use_big = (not use_group
+                   and pallas_encode.supported_pack_enc(bits_pred, n,
+                                                        pix_max))
+        if not (use_group or use_big) and \
                 not pallas_encode.supported(bits_pred, n, pix_max):
             return None
         import jax
@@ -221,17 +226,19 @@ class BlockEncoder:
         interpret = jax.default_backend() != "tpu"
 
         def kernel_call(x, low, db, deb, dm0, dm1, pix, per):
-            if use_group:
+            if use_group or use_big:
                 from ..ops.pallas_codec import group_tiles
 
                 g = group_tiles(bits_pred)
                 t = n // 32
                 bloc = x.shape[0]
-                w2, mins, maxd, valid = \
-                    pallas_encode.encode_float_pallas_group(
-                        x[:, :n].reshape(bloc * (t // g), g * 32), low,
-                        db, deb, dm0, dm1, pix, per, bits_pred, n,
-                        interpret=interpret)
+                fn = pallas_encode.encode_float_pallas_group \
+                    if use_group \
+                    else pallas_encode.encode_float_pallas_bigblock
+                w2, mins, maxd, valid = fn(
+                    x[:, :n].reshape(bloc * (t // g), g * 32), low,
+                    db, deb, dm0, dm1, pix, per, bits_pred, n,
+                    interpret=interpret)
                 return (w2.reshape(bloc, t * bits_pred), mins, maxd,
                         valid)
             return pallas_encode.encode_float_pallas(

@@ -194,6 +194,70 @@ def test_pallas_encode_group_variant_byte_identical():
     np.testing.assert_array_equal(got.bits, want.bits)
 
 
+def test_pallas_encode_bigblock_path_byte_identical(monkeypatch):
+    """The two-dispatch big-block encode (XLA stats + stateless pack
+    kernel) is byte-identical to the XLA path.  The fused group kernel
+    is disabled so the selection takes the big-block branch at a
+    test-sized n (production: n > 512k)."""
+    from minnow_tpu.ops import pallas_encode
+
+    monkeypatch.setattr(pallas_encode, "supported_group_enc",
+                        lambda *a: False)
+    rng = np.random.default_rng(15)
+    n = 16384
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (2, n)).astype(np.float32)
+    x[0, :2] = [0.0, 249.9]
+    wrap = np.concatenate([rng.uniform(0, 2, n // 2),
+                           250.0 - rng.uniform(0, 2, n - n // 2)])
+    x[1] = wrap.astype(np.float32)  # periodic wrap cluster
+
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels)
+    got = BlockEncoder(pallas=True).encode_float_blocks(
+        x, low, high, pixels)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+
+
+def test_float_block_stats_match_prepare():
+    """Stats-only prep == the materializing prep on every class of
+    block: random, narrow, wrap cluster, masked short, empty,
+    non-periodic."""
+    from minnow_tpu.ops import codec, fastdiv
+
+    rng = np.random.default_rng(16)
+    n = 512
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (6, n)).astype(np.float32)
+    x[1] = 100.0 + rng.uniform(0, 0.01, n).astype(np.float32)
+    wrap = np.concatenate([rng.uniform(0, 2, n // 2),
+                           250.0 - rng.uniform(0, 2, n - n // 2)])
+    x[2] = wrap.astype(np.float32)
+    lens = np.array([n, n, n, n // 4, 0, n], dtype=np.int64)
+    per = np.array([True, True, True, True, True, False])
+    lowv = np.full(6, low, np.float32)
+    pixv = np.full(6, pixels, np.int64)
+    dxq = np.full(6, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+
+    _, mn_w, maxd_w, valid_w = codec.prepare_float_blocks_fast32(
+        x, lowv, pixv, lens, per, db, deb, dm0, dm1)
+    mn, maxd, m, valid = codec.float_block_stats32(
+        x, lowv, pixv, lens, per, db, deb, dm0, dm1)
+    keep = lens > 0  # empty blocks: stats are don't-care (min forced 0)
+    np.testing.assert_array_equal(np.asarray(mn)[keep],
+                                  np.asarray(mn_w)[keep])
+    np.testing.assert_array_equal(np.asarray(maxd)[keep],
+                                  np.asarray(maxd_w)[keep])
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  np.asarray(valid_w))
+
+
 def test_pallas_encode_window_boundary_byte_identical():
     """Periodic windows straddling exactly pixels//2 -- the boundary of
     the wide-window select in the kernel's derived recentered stats --
