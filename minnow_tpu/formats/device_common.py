@@ -37,8 +37,11 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
     G = pallas_codec.group_tiles(bits)
     align = 32 * G * 8
     n_pad = -(-n // align) * align
-    # small blocks: padding waste would exceed the kernel's win
-    if n < align or not pallas_codec.supported_group(bits, n_pad, 1):
+    # padding waste must not eat the kernel's win: rejects n < align
+    # (waste >= 100%) and lengths just past an alignment boundary
+    # (e.g. n = align+1 would decode ~2x the data)
+    if n_pad * 4 > n * 5 or not pallas_codec.supported_group(
+            bits, n_pad, 1):
         return None
     w_pad = (n_pad // 32) * bits
     if words.shape[1] < w_pad:

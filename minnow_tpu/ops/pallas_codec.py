@@ -122,27 +122,33 @@ def _unpack_tile_lane(w, bits: int):
     return jnp.concatenate(cols, axis=1)
 
 
-def _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
-                 per_ref):
-    """Shared decode tail on int32 q (any layout)."""
-    q = q + mn_ref[i]
-    p = pix_ref[i]
-    per = per_ref[i] != jnp.int32(0)
+def _dequant_tail(q, mn, low, dx, p, per, dither):
+    """Shared decode tail on int32 q.  ``mn``/``low``/``dx``/``p``/
+    ``per`` are either scalars (per-block kernels) or (1, r) per-column
+    rows (multi-block instances) -- both broadcast over q."""
+    q = q + mn
     # literals explicitly typed: weak-typed ints inside Mosaic kernels
     # recurse during lowering (round-1 jnp.mod finding, same class)
     zero = jnp.int32(0)
     qb = q + jnp.where(q < zero, p, zero)
     qb = qb - jnp.where(qb >= p, p, zero)
-    q = jnp.where(per, qb, q)
+    q = jnp.where(per != zero, qb, q)
     v = q.astype(jnp.float32)
     if dither == "midpoint":
         v = v + jnp.float32(0.5)
-    prod = dx_ref[i] * v
+    prod = dx * v
     # block FMA contraction of dx*v + low (would break bit parity with
     # the spec): select on a runtime-unprovable predicate, as in
     # codec.dequantize24
     prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
-    return prod + low_ref[i]
+    return prod + low
+
+
+def _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
+                 per_ref):
+    """Per-block scalar wrapper of :func:`_dequant_tail`."""
+    return _dequant_tail(q, mn_ref[i], low_ref[i], dx_ref[i],
+                         pix_ref[i], per_ref[i], dither)
 
 
 def _decode_kernel(bits: int, dither: str, w_ref, mn_ref, low_ref,
@@ -383,25 +389,12 @@ def _decode_kernel_group_multi(bits: int, G: int, kpb: int, t_g: int,
             row = jnp.where(sel, ref[base + jnp.int32(u)], row)
         return row
 
-    mn_row = vec(mn_ref, jnp.int32(0))
-    low_row = vec(low_ref, jnp.float32(0))
-    dx_row = vec(dx_ref, jnp.float32(0))
-    p = vec(pix_ref, jnp.int32(1))
-    per_row = vec(per_ref, jnp.int32(0))
-
-    q = q + mn_row
-    zero = jnp.int32(0)
-    qb = q + jnp.where(q < zero, p, zero)
-    qb = qb - jnp.where(qb >= p, p, zero)
-    q = jnp.where(per_row != zero, qb, q)
-    v = q.astype(jnp.float32)
-    if dither == "midpoint":
-        v = v + jnp.float32(0.5)
-    prod = dx_row * v
-    # FMA blocker (same as _decode_body): select on a predicate the
-    # compiler cannot prove, so dx*v + low is not contracted
-    prod = jnp.where(q >= jnp.min(q), prod, jnp.float32(0))
-    out_ref[...] = (prod + low_row).T                # (r, G*32) f32
+    out = _dequant_tail(q, vec(mn_ref, jnp.int32(0)),
+                        vec(low_ref, jnp.float32(0)),
+                        vec(dx_ref, jnp.float32(0)),
+                        vec(pix_ref, jnp.int32(1)),
+                        vec(per_ref, jnp.int32(0)), dither)
+    out_ref[...] = out.T                             # (r, G*32) f32
 
 
 def _unpack_kernel_group(bits: int, G: int, w_ref, out_ref, wt_scr,
@@ -411,9 +404,14 @@ def _unpack_kernel_group(bits: int, G: int, w_ref, out_ref, wt_scr,
 
 
 def _group_call(kernel, b, t_g, r, gw, ge, n_scalars, out_dtype,
-                interpret):
+                interpret, scalar_len=None):
+    """Grid (b, t_g//r) over (r, gw) -> (r, ge) blocks with whole SMEM
+    scalar arrays.  The multi-block-per-instance decode path reuses
+    this with b = blocks/kpb instances of t_g = kpb*t_g rows and
+    ``scalar_len`` = the true block count."""
     steps = t_g // r
-    scalar_spec = pl.BlockSpec((b,), lambda i, j: (np.int32(0),),
+    scalar_spec = pl.BlockSpec((scalar_len or b,),
+                               lambda i, j: (np.int32(0),),
                                memory_space=pltpu.SMEM)
     kwargs = {}
     if not interpret:
@@ -438,10 +436,13 @@ def _group_call(kernel, b, t_g, r, gw, ge, n_scalars, out_dtype,
 
 
 def _pick_r_group(t_g: int, rows: int = 0) -> int:
-    r = min(rows or 128, t_g)
+    """Largest 8-multiple <= min(rows or 128, t_g) dividing t_g
+    (Mosaic sublane blocks/offsets must be 8-multiples; t_g itself is
+    an 8-multiple per supported_group, so 8 always terminates)."""
+    r = max(min(rows or 128, t_g) // 8 * 8, 8)
     while t_g % r:
-        r //= 2
-    return max(r, 8)
+        r -= 8
+    return r
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "dither",
@@ -483,28 +484,11 @@ def decode_float_pallas_group(words2d, mins, low, high, pixels,
                 kpb = cand
                 break
     if kpb > 1:
-        r = kpb * t_g
-        scalar_spec = pl.BlockSpec((b,), lambda i, j: (np.int32(0),),
-                                   memory_space=pltpu.SMEM)
-        kwargs = {}
-        if not interpret:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"))
-        call = pl.pallas_call(
+        call = _group_call(
             functools.partial(_decode_kernel_group_multi, bits, G, kpb,
                               t_g, dither),
-            grid=(b // kpb, 1),
-            in_specs=[pl.BlockSpec((r, gw),
-                                   lambda i, j: (i, np.int32(0)))]
-            + [scalar_spec] * 5,
-            out_specs=pl.BlockSpec((r, ge),
-                                   lambda i, j: (i, np.int32(0))),
-            out_shape=jax.ShapeDtypeStruct((b * t_g, ge), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((gw, r), jnp.int32),
-                            pltpu.VMEM((ge, r), jnp.int32)],
-            interpret=interpret,
-            **kwargs,
-        )
+            b // kpb, kpb * t_g, kpb * t_g, gw, ge, 5, jnp.float32,
+            interpret, scalar_len=b)
         return call(*args)
 
     r = _pick_r_group(t_g, rows)

@@ -585,10 +585,10 @@ def pack_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
     if x2d.shape != (bsz * t_g, ge):
         raise ValueError("x2d must be (B*t/G, G*32), got %s"
                          % (x2d.shape,))
-    cs = min(rows or 128, t_g)
-    while t_g % cs:
-        cs //= 2
-    cs = max(cs, 8)
+    from .pallas_codec import _pick_r_group
+
+    # chunk rows: an 8-multiple dividing t_g (Mosaic sublane constraint)
+    cs = _pick_r_group(t_g, rows)
     steps = t_g // cs
 
     scalar = pl.BlockSpec((bsz,), lambda i, j: (np.int32(0),),
@@ -631,19 +631,17 @@ def encode_float_pallas_bigblock(x2d, low, b, eb, m0, m1, pixels,
     cap: fused XLA stats pass (one HBM read, no materialization) + the
     stateless pack kernel.  Same return contract as
     :func:`encode_float_pallas_group`."""
-    import jax.numpy as jnp_  # local alias; jnp already imported
-
     from . import codec
 
     bsz = low.shape[0]
-    lens = jnp_.full((bsz,), n, dtype=jnp_.int64)
+    lens = jnp.full((bsz,), n, dtype=jnp.int64)
     mn, maxd, m, valid = codec.float_block_stats32(
-        x2d.reshape(bsz, n), low.astype(jnp_.float32),
+        x2d.reshape(bsz, n), low.astype(jnp.float32),
         pixels, lens, periodic, b, eb, m0, m1)
     words = pack_float_pallas_group(
         x2d, low, b, eb, m0, m1, pixels, periodic, m, mn, bits, n,
         interpret=interpret)
-    return (words, mn.astype(jnp_.int64), maxd.astype(jnp_.int64),
+    return (words, mn.astype(jnp.int64), maxd.astype(jnp.int64),
             valid)
 
 
@@ -669,10 +667,10 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
     if x2d.shape != (bsz * t_g, ge):
         raise ValueError("x2d must be (B*t/G, G*32), got %s"
                          % (x2d.shape,))
-    cs = min(rows or 128, t_g)
-    while t_g % cs:
-        cs //= 2
-    cs = max(cs, 8)
+    from .pallas_codec import _pick_r_group
+
+    # chunk rows: an 8-multiple dividing t_g (Mosaic sublane constraint)
+    cs = _pick_r_group(t_g, rows)
 
     # merge kpb consecutive blocks per grid instance at small t_g (the
     # per-instance overhead otherwise dominates; see the kernel doc)

@@ -252,7 +252,7 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
         low = rng.uniform(-10, 0, bsz).astype(np.float32)
         high = (low + rng.uniform(100, 300, bsz)).astype(np.float32)
         pix = np.full(bsz, pixels, np.int64)
-        per = np.arange(bsz) != 2
+        per = np.arange(bsz) != 1  # mixed periodic in BOTH size cases
         ref = np.asarray(codec.decode_float_blocks32(
             words, mins, low, high, pix, per, np.arange(bsz), bits, n,
             dither="none"))

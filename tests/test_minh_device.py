@@ -61,7 +61,8 @@ def test_device_group_path_interpret(tmp_path, monkeypatch):
     real-kernel identity is gated on-chip by validate_pallas_group)."""
     fname = str(tmp_path / "c.minh")
     rng = np.random.default_rng(3)
-    n = 20000  # unaligned: exercises the zero-pad + slice path
+    # unaligned (pads to 32768) but within the <=25% padding-waste gate
+    n = 30000
     w = minh.create(fname)
     w.header(["x"], "t", [minh.Column(type=minh.Float, low=0, high=250,
                                       dx=0.001)])
