@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["group_decode"]
+__all__ = ["group_decode", "group_decode_ints"]
 
 # tests flip this to exercise the Pallas group path in interpret mode on
 # the CPU backend (production: real-kernel on TPU only)
@@ -52,3 +52,31 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
         words2d, mins, lows, highs, pixels, periodic, int(bits),
         int(n_pad), dither=dither, interpret=INTERPRET))
     return dec.reshape(len(words), n_pad)[:, :n]
+
+
+def group_decode_ints(words, mins, bits, n):
+    """Bulk int decode through the group unpack kernels (u32 for
+    widths <= 32, (lo, hi) halves for 33-64 -- covers ID columns), or
+    None when the shape/backend doesn't qualify."""
+    import jax
+
+    if jax.default_backend() != "tpu" and not INTERPRET:
+        return None
+    from ..ops import codec, pallas_codec
+
+    if not 0 < bits <= 64:
+        return None
+    G = pallas_codec.group_tiles(bits)
+    align = 32 * G * 8
+    n_pad = -(-n // align) * align
+    # same <=25% padding-waste bound as the float path
+    if n_pad * 4 > n * 5:
+        return None
+    w_pad = (n_pad // 32) * bits
+    if words.shape[1] < w_pad:
+        words = np.pad(words, ((0, 0), (0, w_pad - words.shape[1])))
+    t_g = (n_pad // 32) // G
+    words2d = words[:, :w_pad].reshape(len(words) * t_g, G * bits)
+    dec = np.asarray(codec.decode_int_blocks_group(
+        words2d, mins, int(bits), int(n_pad), interpret=INTERPRET))
+    return dec[:, :n]

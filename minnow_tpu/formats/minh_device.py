@@ -21,6 +21,7 @@ from . import minh as minh_mod
 __all__ = ["read_floats", "read_ints"]
 
 # the shared Pallas bulk-decode fast path (see device_common.group_decode)
+from . import device_common  # noqa: E402
 from .device_common import group_decode as _group_decode  # noqa: E402
 
 
@@ -112,8 +113,13 @@ def read_ints(reader: minh_mod.Reader, names):
                 if bits:
                     words[row] = bitpack.bytes_to_words(payload, bits, n)
                 mins[row] = mn
-            dec = np.asarray(codec.decode_int_blocks(
-                words, mins, int(bits), int(n)))
+            dec = None
+            if bits:
+                dec = device_common.group_decode_ints(
+                    words, mins, int(bits), int(n))
+            if dec is None:
+                dec = np.asarray(codec.decode_int_blocks(
+                    words, mins, int(bits), int(n)))
             for row, b in enumerate(ids):
                 parts[b] = dec[row]
         out[name] = np.concatenate(parts) if parts else \

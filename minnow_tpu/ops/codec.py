@@ -335,6 +335,28 @@ def decode_int_blocks(words, mins, bits: int, n: int):
     return deltas.astype(jnp.int64) + mins[:, None]
 
 
+@partial(jax.jit, static_argnames=("bits", "n", "interpret"))
+def decode_int_blocks_group(words2d, mins, bits: int, n: int,
+                            interpret: bool = False):
+    """Int-block decode through the group-aligned Pallas unpack:
+    <=32-bit widths via the u32 kernel, 33-64-bit via the (lo, hi)
+    halves kernel with the int64 combine fused here (Mosaic has no
+    int64 vectors).  Bit-identical to :func:`decode_int_blocks`;
+    ``words2d`` is the aligned (B*t/G, G*bits) view."""
+    from . import pallas_codec
+
+    b = mins.shape[0]
+    if bits <= 32:
+        vals = pallas_codec.unpack_pallas_group(
+            words2d, bits, n, interpret=interpret)
+        return vals.reshape(b, n).astype(jnp.int64) + mins[:, None]
+    lo, hi = pallas_codec.unpack_pallas_group64(
+        words2d, bits, n, interpret=interpret)
+    d = lo.reshape(b, n).astype(jnp.uint64) \
+        | (hi.reshape(b, n).astype(jnp.uint64) << jnp.uint64(32))
+    return d.astype(jnp.int64) + mins[:, None]
+
+
 def _dither_u(block_ids, n, dither, seed):
     if dither == "none":
         return None

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["decode_float_pallas", "unpack_pallas", "supported",
            "decode_float_pallas_group", "unpack_pallas_group",
+           "unpack_pallas_group64", "supported_group64",
            "group_tiles", "supported_group"]
 
 
@@ -75,10 +76,18 @@ def _expand_rows(wt, idx):
     return jnp.concatenate(rows, axis=0)
 
 
-def _unpack_tile_t(wt, bits: int):
-    """(bits, R) word-planar rows -> (32, R) u32 element values."""
-    s, w1, w2, s2 = _row_shifts(bits)
-    mask = np.uint32((1 << bits) - 1) if bits < 32 \
+def _unpack_tile_t_ext(wt, bits: int, word_off: int, width: int):
+    """(bits, R) word-planar rows -> (32, R) u32: for each element j,
+    the ``width`` bits starting at bit j*bits + 32*word_off of the
+    stream.  word_off=0/width=min(bits,32) is the plain unpack;
+    word_off=1/width=bits-32 extracts the high halves of 33-64-bit
+    values (the shift amounts are word_off-independent; word indices
+    clamp to the tile's last word, safe because the true span always
+    fits and the clamped term is masked off)."""
+    offs = np.arange(32, dtype=np.int64) * bits
+    w1 = np.minimum(offs // 32 + word_off, bits - 1)
+    w2 = np.minimum(offs // 32 + word_off + 1, bits - 1)
+    mask = np.uint32((1 << width) - 1) if width < 32 \
         else np.uint32(0xFFFFFFFF)
     a = _expand_rows(wt, w1)
     b = _expand_rows(wt, w2)
@@ -91,6 +100,11 @@ def _unpack_tile_t(wt, bits: int):
     out = a >> s_c
     out = out | jnp.where(s_c > jnp.uint32(0), b << s2_c, jnp.uint32(0))
     return out & mask
+
+
+def _unpack_tile_t(wt, bits: int):
+    """(bits, R) word-planar rows -> (32, R) u32 element values."""
+    return _unpack_tile_t_ext(wt, bits, 0, min(bits, 32))
 
 
 def _unpack_tile(w, bits: int):
@@ -516,6 +530,83 @@ def unpack_pallas_group(words2d, bits: int, n: int,
     call = _group_call(functools.partial(_unpack_kernel_group, bits, G),
                        b, t_g, r, gw, G * 32, 0, jnp.uint32, interpret)
     return call(words2d)
+
+
+def _unpack_kernel_group64(bits: int, G: int, w_ref, out_ref, wt_scr,
+                           q_scr):
+    """(r, G*bits) words of 33-64-bit values -> (r, 2*G*32) u32: low
+    halves in columns [0, G*32), high halves in [G*32, 2*G*32)."""
+    wt_scr[...] = _bc(w_ref[...], jnp.int32).T       # (G*bits, r)
+    ts = _tile_step(bits)
+    ge = G * 32
+
+    def step_body(j, carry):
+        rows = _bc(wt_scr[pl.ds(j * np.int32(ts * bits), ts * bits), :],
+                   jnp.uint32)                       # (ts*bits, r)
+        lo = jnp.concatenate(
+            [_unpack_tile_t_ext(rows[u * bits:(u + 1) * bits], bits,
+                                0, 32) for u in range(ts)], axis=0)
+        hi = jnp.concatenate(
+            [_unpack_tile_t_ext(rows[u * bits:(u + 1) * bits], bits,
+                                1, bits - 32) for u in range(ts)],
+            axis=0)
+        q_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :] = \
+            _bc(lo, jnp.int32)
+        q_scr[pl.ds(np.int32(ge) + j * np.int32(ts * 32), ts * 32),
+              :] = _bc(hi, jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
+                      jnp.int32(0))
+    out_ref[...] = _bc(q_scr[...].T, jnp.uint32)     # (r, 2*G*32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "rows"))
+def unpack_pallas_group64(words2d, bits: int, n: int,
+                          interpret: bool = False, rows: int = 0):
+    """(B*t/G, G*bits) aligned words of 33-64-bit values ->
+    ((B*t/G, G*32) lo, (B*t/G, G*32) hi) uint32 halves (the wide twin
+    of unpack_pallas_group; the caller combines lo | hi << 32 -- int64
+    vector arithmetic is not available in Mosaic)."""
+    if not 32 < bits <= 64:
+        raise ValueError("unpack_pallas_group64 requires 32 < bits <= 64")
+    G = group_tiles(bits)
+    t_g = (n // 32) // G
+    gw = G * bits
+    ge = G * 32
+    m = words2d.shape[0]
+    b = m // t_g
+    if words2d.shape != (b * t_g, gw) or b * t_g != m:
+        raise ValueError("words2d must be (B*t/G, G*bits), got %s"
+                         % (words2d.shape,))
+    r = _pick_r_group(t_g, rows)
+    steps = t_g // r
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    out = pl.pallas_call(
+        functools.partial(_unpack_kernel_group64, bits, G),
+        grid=(b, steps),
+        in_specs=[pl.BlockSpec((r, gw),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0)))],
+        out_specs=pl.BlockSpec((r, 2 * ge),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((b * t_g, 2 * ge), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((gw, r), jnp.int32),
+                        pltpu.VMEM((2 * ge, r), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )(words2d)
+    return out[:, :ge], out[:, ge:]
+
+
+def supported_group64(bits: int, n: int) -> bool:
+    """Shapes the wide (33-64-bit) group unpack handles."""
+    return 32 < bits <= 64 and n % (32 * group_tiles(bits) * 8) == 0
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",

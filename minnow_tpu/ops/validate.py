@@ -236,6 +236,25 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
             raise AssertionError("group unpack diverges at bits=%d"
                                  % bits)
 
+    # wide (33-64-bit) unpack + the fused int64 combine (ID columns)
+    for bits in (41, 64):
+        g = pallas_codec.group_tiles(bits)
+        n = 32 * g * 8
+        hi_excl = (1 << bits) - 1 if bits == 64 else (1 << bits)
+        vals = rng.integers(0, hi_excl, (2, n), dtype=np.uint64)
+        words = np.stack([
+            bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+            for v in vals])
+        mins = rng.integers(-100, 100, 2).astype(np.int64)
+        ref = np.asarray(codec.decode_int_blocks(
+            words, mins, bits, n))
+        got = np.asarray(codec.decode_int_blocks_group(
+            words.reshape(-1, g * bits), mins, bits, n,
+            interpret=interpret))
+        if not np.array_equal(ref, got):
+            raise AssertionError("group int decode diverges at bits=%d"
+                                 % bits)
+
     # fused decode vs the XLA decode, bitwise -- both kernel paths:
     # t_g=8 engages the multi-block-per-instance variant (kpb=4 here),
     # t_g=128 the per-block variant

@@ -93,6 +93,45 @@ def test_device_group_path_interpret(tmp_path, monkeypatch):
                                   host.view(np.uint32))
 
 
+def test_device_group_int_path_interpret(tmp_path, monkeypatch):
+    """Bulk int reads engage the group unpack kernels -- wide (ID
+    columns, 33-64-bit deltas) and narrow -- and equal the host reader
+    exactly (interpret mode)."""
+    from minnow_tpu.formats import device_common
+
+    fname = str(tmp_path / "c.minh")
+    rng = np.random.default_rng(4)
+    n = 32768  # odd widths group at G=128 -> 32768 alignment
+    w = minh.create(fname)
+    w.header(["id", "flag"], "t", [minh.Column(type=minh.Int),
+                                   minh.Column(type=minh.Int)])
+    w.geometry(250, 0, 0)
+    ids = rng.integers(0, 10**12, n)  # ~40-bit deltas
+    ids[0], ids[1] = 0, (1 << 40) + 5  # pin width > 32
+    flags = rng.integers(0, 2, n)     # 1-bit deltas
+    w.block([ids, flags])
+    w.close()
+
+    r = minh.open(fname)
+    host = r.ints(["id", "flag"])
+    used = []
+    orig = device_common.group_decode_ints
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        used.append(out is not None)
+        return out
+
+    monkeypatch.setattr(minh_device.device_common, "group_decode_ints",
+                        spy)
+    monkeypatch.setattr(device_common, "INTERPRET", True)
+    dev = minh_device.read_ints(r, ["id", "flag"])
+    r.close()
+    assert used and all(used), "group int decode did not engage"
+    np.testing.assert_array_equal(dev["id"], host["id"])
+    np.testing.assert_array_equal(dev["flag"], host["flag"])
+
+
 def test_verify_minnow_cli(tmp_path, capsys):
     import pytest
 
