@@ -311,21 +311,37 @@ def _safe_slope(by1, by2, t1, t2):
     return by2 / 1e9 / t2
 
 
-def bench_sustained(batches=16, b=64, n=1 << 20):
+def bench_sustained(batches=16, b=None, n=None):
     """Sustained many-batches-in-flight throughput: enqueue ``batches``
     encode (then decode) dispatches over pre-resident device buffers and
     sync ONCE at the end -- the number a production host sees when it
     streams block batches (ref scripts/text_to_minh.go:208-212 streaming
     loop).  The per-dispatch tunnel round trip (~25 ms when syncing every
-    call) amortizes across the in-flight queue."""
+    call) amortizes across the in-flight queue.
+
+    Streams through the production kernels (the group-aligned fused
+    Pallas encode/decode the BlockEncoder and bulk readers select on
+    TPU) at the streamed (256, 2^17) shape; off-TPU it falls back to
+    the XLA paths at (64, 2^20)."""
     import jax
     import jax.numpy as jnp
 
     from minnow_tpu.core import spec
-    from minnow_tpu.ops import bitpack, codec, fastdiv
+    from minnow_tpu.ops import bitpack, codec, fastdiv, pallas_codec, \
+        pallas_encode
 
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
     pixels = spec.float_group_pixels(low, high, dx)
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = (on_tpu
+                  and pallas_encode.supported_group_enc(bits, n or 1 << 17,
+                                                        pixels)
+                  and pallas_codec.supported_group(bits, n or 1 << 17,
+                                                   pixels))
+    if b is None:
+        b = 256 if use_pallas else 64
+    if n is None:
+        n = (1 << 17) if use_pallas else (1 << 20)
     rng = np.random.default_rng(2)
     lowv = np.full(b, low, np.float32)
     highv = np.full(b, high, np.float32)
@@ -336,26 +352,45 @@ def bench_sustained(batches=16, b=64, n=1 << 20):
     db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
     assert dok.all()
 
-    @jax.jit
-    def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
-        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
-            x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
-        words = bitpack.pack_batch(deltas, bits)
-        return words, mins
+    if use_pallas:
+        g = pallas_codec.group_tiles(bits)
 
-    @jax.jit
-    def decode(words, mins, lowv, highv, pixv):
-        q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
-            + mins[:, None]
-        q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
-        return codec.dequantize24(q, lowv[:, None], highv[:, None],
-                                  pixv[:, None])
+        @jax.jit
+        def encode(x2d, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
+            words, mins, _, _ = pallas_encode.encode_float_pallas_group(
+                x2d, lowv, db, deb, dm0, dm1, pixv, periodic, bits, n)
+            return words, mins
+
+        per_dev = jax.device_put(periodic)
+
+        @jax.jit
+        def decode(w2d, mins, lowv, highv, pixv):
+            return pallas_codec.decode_float_pallas_group(
+                w2d, mins, lowv, highv, pixv, per_dev, bits, n,
+                dither="none")
+    else:
+        @jax.jit
+        def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
+            deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
+                x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
+            words = bitpack.pack_batch(deltas, bits)
+            return words, mins
+
+        @jax.jit
+        def decode(words, mins, lowv, highv, pixv):
+            q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
+                + mins[:, None]
+            q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
+            return codec.dequantize24(q, lowv[:, None], highv[:, None],
+                                      pixv[:, None])
 
     # distinct resident input buffers, round-robin (forces real reads)
     n_bufs = 4
-    xs = [jax.device_put(
-        rng.uniform(0, 249.9, (b, n)).astype(np.float32))
-        for _ in range(n_bufs)]
+    xs = [rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+          for _ in range(n_bufs)]
+    if use_pallas:
+        xs = [x.reshape(-1, g * 32) for x in xs]
+    xs = [jax.device_put(x) for x in xs]
     consts = tuple(jax.device_put(a) for a in
                    (lowv, pixv, lens, periodic, db, deb, dm0, dm1))
 
@@ -384,7 +419,9 @@ def bench_sustained(batches=16, b=64, n=1 << 20):
     return {"sustained_encode_GBps": round(total_gb / t_enc, 3),
             "sustained_decode_GBps": round(total_gb / t_dec, 3),
             "sustained_total_GB": round(total_gb, 2),
-            "sustained_batches_in_flight": batches}
+            "sustained_batches_in_flight": batches,
+            "sustained_path": "pallas_group(%d, %d)" % (b, n)
+            if use_pallas else "xla(%d, %d)" % (b, n)}
 
 
 def bench_pallas_encode(n=1 << 17, b1=256, b2=2048):

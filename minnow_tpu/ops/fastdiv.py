@@ -127,6 +127,14 @@ def quantize_fast(diff, b, eb, m0, m1, out32: bool = False):
     q_val = jnp.where(sign == 0, q_mag.astype(idt),
                       -(q_mag.astype(idt)) - frac.astype(idt))
     q_val = jnp.where(is_zero, 0, q_val)
-    # zero diffs are exact by definition (quotient 0); their mantissa
-    # path computes garbage exponents that must not flag them
-    return q_val, is_zero | ~invalid
+    # +0 diffs are exact by definition (quotient 0); their mantissa
+    # path computes garbage exponents that must not flag them.  -0.0 is
+    # FLAGGED: on flush-to-zero backends (TPU XLA flushes subnormals in
+    # the upstream f32 subtract) a -0.0 diff may stand for a true
+    # negative-subnormal difference whose spec quotient floors to -1,
+    # so it must route to the host fallback, where numpy recomputes the
+    # unflushed diff.  (A genuine -0.0 diff also floors to 0 there, so
+    # the fallback is correct either way.)
+    negzero = is_zero & (sign != np.uint32(0))
+    return q_val, (is_zero & (sign == np.uint32(0))) \
+        | (~(invalid | negzero))

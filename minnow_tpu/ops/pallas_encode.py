@@ -85,13 +85,26 @@ def _umul_full(a, m, a_max_bits: int, m_max_bits: int):
     return lo, hi
 
 
-def _quantize_limb(diff, b, eb, m0, m1):
+def _quantize_limb(diff, b, eb, m0, m1, slim: bool = False):
     """floor(RN32(diff / dx)) as int32, pure u32/i32 ops.
 
     Per-element f32 ``diff``; scalars ``b`` (24-bit divisor mantissa),
     ``eb`` (i32 exponent), ``m0``/``m1`` (magic reciprocal limbs,
     m1 < 2^17).  Returns (q i32, exact bool).  Same certification
-    semantics as fastdiv.quantize_fast(out32=True)."""
+    semantics as fastdiv.quantize_fast(out32=True).
+
+    ``slim=True`` is the production fused-kernel variant: it FLAGS
+    (exact=False) the rare inputs the full path handles in-line --
+    subnormal diffs, negative diffs, quotients >= 2^24 -- instead of
+    computing them, saving ~20% of the quantizer's vector ops
+    (tools/encode_attrib.py: the quantizer is 51% of kernel time).
+    Soundness is unchanged: a flagged element invalidates its block and
+    the caller re-encodes via the normative XLA/host path, so certified
+    bytes are reference-exact either way.  Only kernels that consume
+    their OWN exact flags may use slim (the stateless big-block pack
+    kernel takes certification from the XLA stats pass, whose fastdiv
+    flags certify subnormal/negative inputs slim would miscompute --
+    it must keep the full variant)."""
     bits_ = jax.lax.bitcast_convert_type(diff, jnp.uint32)
     sign = bits_ >> np.uint32(31)
     e_raw = ((bits_ >> np.uint32(23))
@@ -100,19 +113,28 @@ def _quantize_limb(diff, b, eb, m0, m1):
     is_zero = (bits_ & np.uint32(0x7FFFFFFF)) == 0
     invalid = e_raw == jnp.int32(255)
 
-    # subnormal renormalization: exact msb via f32 conversion.
-    # max in int32 -- Mosaic has no arith.maxui; m_raw < 2^23 is
-    # sign-safe
-    safe_m = jnp.maximum(
-        jax.lax.bitcast_convert_type(m_raw, jnp.int32), jnp.int32(1))
-    msb = (jax.lax.bitcast_convert_type(
-        safe_m.astype(jnp.float32), jnp.uint32)
-        >> np.uint32(23)).astype(jnp.int32) - jnp.int32(127)
-    shn = (jnp.int32(23) - msb).astype(jnp.uint32)
-    subn = e_raw == jnp.int32(0)
-    a = jnp.where(subn, m_raw << shn, m_raw | np.uint32(1 << 23))
-    ea = jnp.where(subn, jnp.int32(-149) - shn.astype(jnp.int32),
-                   e_raw - jnp.int32(150))
+    if slim:
+        # flag instead of handling: subnormal or negative diffs (incl.
+        # -0.0, which on flush-to-zero backends may stand for a true
+        # negative-subnormal difference -- see fastdiv.quantize_fast)
+        invalid = invalid | (e_raw == jnp.int32(0)) \
+            | (sign != np.uint32(0))
+        a = m_raw | np.uint32(1 << 23)
+        ea = e_raw - jnp.int32(150)
+    else:
+        # subnormal renormalization: exact msb via f32 conversion.
+        # max in int32 -- Mosaic has no arith.maxui; m_raw < 2^23 is
+        # sign-safe
+        safe_m = jnp.maximum(
+            jax.lax.bitcast_convert_type(m_raw, jnp.int32), jnp.int32(1))
+        msb = (jax.lax.bitcast_convert_type(
+            safe_m.astype(jnp.float32), jnp.uint32)
+            >> np.uint32(23)).astype(jnp.int32) - jnp.int32(127)
+        shn = (jnp.int32(23) - msb).astype(jnp.uint32)
+        subn = e_raw == jnp.int32(0)
+        a = jnp.where(subn, m_raw << shn, m_raw | np.uint32(1 << 23))
+        ea = jnp.where(subn, jnp.int32(-149) - shn.astype(jnp.int32),
+                       e_raw - jnp.int32(150))
 
     t = (a < b).astype(jnp.int32)
     # q24 = ((a*m0 >> 32) + a*m1) >> (40 - s), s = 23 + t
@@ -138,6 +160,19 @@ def _quantize_limb(diff, b, eb, m0, m1):
     m_mant = jnp.where(ovf, np.uint32(1 << 23), m_mant)
     e_z = e_z + ovf.astype(jnp.int32)
 
+    if slim:
+        # quotients >= 2^24 flagged (pixels < 2^24, so any such element
+        # is out of range / fallback-bound anyway); inputs are
+        # non-negative here, so floor is a single clamped right shift.
+        # e_z < -120 needs no flag: floor of a tiny POSITIVE quotient
+        # is exactly 0, which the 31-clamped shift already yields.
+        invalid = invalid | (e_z >= jnp.int32(24))
+        dn_sh = jnp.clip(jnp.int32(23) - e_z, jnp.int32(0),
+                         jnp.int32(31)).astype(jnp.uint32)
+        q_val = (m_mant >> dn_sh).astype(jnp.int32)
+        q_val = jnp.where(is_zero, jnp.int32(0), q_val)
+        return q_val, (is_zero & (sign == np.uint32(0))) | ~invalid
+
     invalid = invalid | (e_z >= jnp.int32(30)) | (e_z < jnp.int32(-120))
 
     # floor(+-m_mant * 2^(e_z - 23)) with u32-safe shift amounts
@@ -161,7 +196,10 @@ def _quantize_limb(diff, b, eb, m0, m1):
     q_val = jnp.where(sign == np.uint32(0), q_mag.astype(jnp.int32),
                       -(q_mag.astype(jnp.int32)) - frac)
     q_val = jnp.where(is_zero, jnp.int32(0), q_val)
-    return q_val, is_zero | ~invalid
+    # -0.0 flagged like fastdiv.quantize_fast (flush-to-zero soundness)
+    negzero = is_zero & (sign != np.uint32(0))
+    return q_val, (is_zero & (sign == np.uint32(0))) \
+        | (~(invalid | negzero))
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +281,7 @@ def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
         xc = x_ref[pl.ds(c * np.int32(chunk), chunk), :]
         diff = xc - low_ref[i]           # f32 sub, exact per spec
         qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
-                                   m0_ref[i], m1_ref[i])
+                                   m0_ref[i], m1_ref[i], slim=True)
         q_scr[pl.ds(c * np.int32(chunk), chunk), :] = qc
         return jnp.minimum(ex_carry,
                            jnp.min(exact.astype(jnp.int32)))
@@ -430,7 +468,7 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
         xc = x_ref[pl.ds(np.int32(ro) + c * np.int32(cs), cs), :]
         diff = xc - low_ref[i]           # f32 sub, exact per spec
         qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
-                                   m0_ref[i], m1_ref[i])
+                                   m0_ref[i], m1_ref[i], slim=True)
         q_scr[pl.ds(c * np.int32(cs), cs), :] = qc
         return jnp.minimum(ex_carry,
                            jnp.min(exact.astype(jnp.int32)))
@@ -646,10 +684,11 @@ def encode_float_pallas_bigblock(x2d, low, b, eb, m0, m1, pixels,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
-                                             "rows"))
+                                             "rows", "kpb_cap", "psem"))
 def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
                               bits: int, n: int, interpret: bool = False,
-                              rows: int = 0):
+                              rows: int = 0, kpb_cap: int = 128,
+                              psem: bool = False):
     """Group-aligned fused encode: (B*t/G, G*32) float32 (row-major
     identical to (B, n)) -> ((B*t/G, G*bits) words, mins, maxd, valid).
 
@@ -673,16 +712,23 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
     cs = _pick_r_group(t_g, rows)
 
     # merge kpb consecutive blocks per grid instance at small t_g (the
-    # per-instance overhead otherwise dominates; see the kernel doc)
+    # per-instance overhead otherwise dominates; see the kernel doc).
+    # kpb_cap bounds the rows per instance: in+out DMA staging is
+    # kpb*t_g*(ge + gw)*4 bytes, double-buffered by the pipeline, so
+    # the cap must keep that under the ~16 MB scoped-VMEM budget.
     kpb = 1
-    if not rows and t_g < 128:
-        for cand in range(min(128 // t_g, bsz), 0, -1):
+    if not rows and t_g < kpb_cap:
+        for cand in range(min(kpb_cap // t_g, bsz), 0, -1):
             if bsz % cand == 0:
                 kpb = cand
                 break
 
     scalar = pl.BlockSpec((bsz,), lambda i: (np.int32(0),),
                           memory_space=pltpu.SMEM)
+    kwargs = {}
+    if psem and not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     out = pl.pallas_call(
         functools.partial(_encode_kernel_group, bits, g, cs, kpb, t_g),
         grid=(bsz // kpb,),
@@ -705,6 +751,7 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
                         pltpu.VMEM((ge, cs), jnp.int32),
                         pltpu.VMEM((gw, cs), jnp.int32)],
         interpret=interpret,
+        **kwargs,
     )(x2d,
       low.astype(jnp.float32),
       b.astype(jnp.uint32),

@@ -153,6 +153,23 @@ def test_limb_quantizer_bit_equal_to_fastdiv():
         both = ex_f & ex_l
         np.testing.assert_array_equal(ql[both], qf[both])
 
+        # slim production variant: SOUND (certified => spec value) and
+        # not over-flagging the common case.  The normative value is
+        # floor(RN32(diff/dx)) via numpy's correctly rounded f32 divide.
+        fs = jax.jit(lambda d, i=i: pallas_encode._quantize_limb(
+            d, jnp.uint32(b[i]), jnp.int32(eb[i]), jnp.uint32(m0[i]),
+            jnp.uint32(m1[i]), slim=True))
+        qs, ex_s = map(np.asarray, fs(diffs))
+        with np.errstate(all="ignore"):
+            want = np.floor((diffs / dx).astype(np.float64))
+        cert = ex_s & np.isfinite(want)
+        np.testing.assert_array_equal(qs[cert].astype(np.float64),
+                                      want[cert])
+        # flagged cases route to fallback; common-case positives with
+        # in-range quotients (pixels < 2^24 in any valid column) certify
+        common = (diffs > 1e-30) & ex_f & (want < 2.0**23)
+        assert ex_s[common].all()
+
 
 def test_encode_float_pallas_byte_exact():
     """Fused encode == spec.encode_float_block bytes for width-matching
