@@ -243,9 +243,12 @@ def float_block_stats32(x, low, pixels, n, periodic, b, eb, m0, m1):
     width = x.shape[1]
     mask = _mask(n, width)
     diff = x.astype(jnp.float32) - low[:, None]
+    # slim_gate: this pass certifies blocks for the SLIM stateless pack
+    # kernel (pallas_encode._pack_kernel_group), so it must flag every
+    # input that kernel's quantizer declines to handle
     q, exact = fastdiv.quantize_fast(diff, b[:, None], eb[:, None],
                                      m0[:, None], m1[:, None],
-                                     out32=True)
+                                     out32=True, slim_gate=True)
     all_exact = jnp.where(mask, exact, True).all(axis=1)
     p32 = pixels.astype(jnp.int32)
     p = p32[:, None]

@@ -62,14 +62,22 @@ def divisor_magic(dx):
     return (b, eb.astype(np.int64), m0, m1, ok)
 
 
-def quantize_fast(diff, b, eb, m0, m1, out32: bool = False):
+def quantize_fast(diff, b, eb, m0, m1, out32: bool = False,
+                  slim_gate: bool = False):
     """``floor(RN32(diff / dx))`` for f32 ``diff`` (any shape) and
     per-block divisor decomposition broadcast against it.
 
     Returns ``(q, exact)``; where ``exact`` is False the value is
     unspecified and the caller must use the normative fallback.  With
     ``out32`` the result is int32 and quotients with |q| >= 2^30 are
-    flagged -- the all-native-width path for pixel counts < 2^31."""
+    flagged -- the all-native-width path for pixel counts < 2^31.
+
+    ``slim_gate`` additionally flags every input the SLIM in-kernel
+    quantizer (ops/pallas_encode._quantize_limb(slim=True)) declines to
+    handle -- subnormal or negative diffs, quotients >= 2^24 -- while
+    still computing the full values here.  A stats pass that certifies
+    blocks for the slim stateless pack kernel must use this gate: its
+    flag set has to be a superset of the kernel's."""
     bits = jax.lax.bitcast_convert_type(diff, jnp.uint32)
     sign = bits >> np.uint32(31)
     e_raw = ((bits >> np.uint32(23)) & np.uint32(0xFF)).astype(jnp.int64)
@@ -115,6 +123,9 @@ def quantize_fast(diff, b, eb, m0, m1, out32: bool = False):
     e_z = e_z + ovf.astype(jnp.int64)
 
     invalid = invalid | (e_z >= (30 if out32 else 62)) | (e_z < -120)
+    if slim_gate:
+        invalid = invalid | (e_raw == 0) | (sign != np.uint32(0)) \
+            | (e_z >= 24)
 
     # floor(+-M * 2^(E-23))
     up_sh = jnp.clip(e_z - 23, 0, 63).astype(jnp.uint64)

@@ -100,11 +100,11 @@ def _quantize_limb(diff, b, eb, m0, m1, slim: bool = False):
     (tools/encode_attrib.py: the quantizer is 51% of kernel time).
     Soundness is unchanged: a flagged element invalidates its block and
     the caller re-encodes via the normative XLA/host path, so certified
-    bytes are reference-exact either way.  Only kernels that consume
-    their OWN exact flags may use slim (the stateless big-block pack
-    kernel takes certification from the XLA stats pass, whose fastdiv
-    flags certify subnormal/negative inputs slim would miscompute --
-    it must keep the full variant)."""
+    bytes are reference-exact either way.  A kernel may use slim only
+    if whatever certifies its blocks flags at least slim's flag set:
+    the fused kernels consume their own exact flags; the stateless
+    big-block pack kernel is certified by the XLA stats pass, which
+    therefore runs fastdiv.quantize_fast(slim_gate=True)."""
     bits_ = jax.lax.bitcast_convert_type(diff, jnp.uint32)
     sign = bits_ >> np.uint32(31)
     e_raw = ((bits_ >> np.uint32(23))
@@ -462,40 +462,46 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
     p = pix_ref[i]
     bc = jax.lax.bitcast_convert_type
 
-    # pass 1: quantize -- elementwise on dense (cs, G*32) chunks (full
-    # lane occupancy, unlike the (chunk, 32) layout above)
-    def quant_body(c, ex_carry):
+    # pass 1: quantize -> scratch, with the periodic-distance stats
+    # computed on the SAME in-register chunk (one VMEM sweep instead of
+    # two; the recentered min/max follow algebraically, so no third
+    # pass either -- see below).  Elementwise on dense (cs, G*32)
+    # chunks: full lane occupancy, unlike the (chunk, 32) layout above.
+    def quant_chunk(c):
         xc = x_ref[pl.ds(np.int32(ro) + c * np.int32(cs), cs), :]
         diff = xc - low_ref[i]           # f32 sub, exact per spec
         qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
                                    m0_ref[i], m1_ref[i], slim=True)
         q_scr[pl.ds(c * np.int32(cs), cs), :] = qc
-        return jnp.minimum(ex_carry,
-                           jnp.min(exact.astype(jnp.int32)))
-    ex_min = jax.lax.fori_loop(jnp.int32(0), steps, quant_body,
-                               jnp.int32(1))
-    all_exact = ex_min == jnp.int32(1)
+        return qc, jnp.min(exact.astype(jnp.int32))
 
-    # pass 2: periodic-distance stats vs q[0,0] (global element 0: the
-    # (t/G, G*32) view is row-major in element order), plus plain
-    # min/max in the same sweep -- the recentered min/max follow
-    # algebraically, so no third pass is needed (see below)
-    x0 = q_scr[0, 0]
-
-    def ystat_body(c, carry):
-        ymin_c, ymax_c, inr_c, qmin_c, qmax_c = carry
-        qc = q_scr[pl.ds(c * np.int32(cs), cs), :]
+    def chunk_stats(qc, x0):
         y = _periodic_distance(qc, x0, p)
         inr = jnp.min(((qc >= zero) & (qc < p)).astype(jnp.int32))
-        return (jnp.minimum(ymin_c, jnp.min(y)),
-                jnp.maximum(ymax_c, jnp.max(y)),
-                jnp.minimum(inr_c, inr),
-                jnp.minimum(qmin_c, jnp.min(qc)),
-                jnp.maximum(qmax_c, jnp.max(qc)))
-    big = jnp.int32(0x7FFFFFFF)
-    ymin, ymax, inr_min, qmin, qmax = jax.lax.fori_loop(
-        jnp.int32(0), steps, ystat_body,
-        (big, -big, jnp.int32(1), big, -big))
+        return (jnp.min(y), jnp.max(y), inr, jnp.min(qc), jnp.max(qc))
+
+    # chunk 0 peeled: the periodic reference element -- the block's
+    # q[0,0] (global element 0: the (t/G, G*32) view is row-major in
+    # element order) -- comes straight from its in-register values
+    qc0, ex0 = quant_chunk(zero)
+    x0 = qc0[0, 0]
+    ymin0, ymax0, inr0, qmin0, qmax0 = chunk_stats(qc0, x0)
+
+    def fused_body(c, carry):
+        ex_c, ymin_c, ymax_c, inr_c, qmin_c, qmax_c = carry
+        qc, ex = quant_chunk(c)
+        ymin_j, ymax_j, inr_j, qmin_j, qmax_j = chunk_stats(qc, x0)
+        return (jnp.minimum(ex_c, ex),
+                jnp.minimum(ymin_c, ymin_j),
+                jnp.maximum(ymax_c, ymax_j),
+                jnp.minimum(inr_c, inr_j),
+                jnp.minimum(qmin_c, qmin_j),
+                jnp.maximum(qmax_c, qmax_j))
+
+    ex_min, ymin, ymax, inr_min, qmin, qmax = jax.lax.fori_loop(
+        jnp.int32(1), steps, fused_body,
+        (ex0, ymin0, ymax0, inr0, qmin0, qmax0))
+    all_exact = ex_min == jnp.int32(1)
     in_range = inr_min == jnp.int32(1)
 
     wwin = ymax - ymin + jnp.int32(1)
@@ -578,8 +584,11 @@ def _pack_kernel_group(bits: int, G: int, x_ref, low_ref, b_ref,
     bc = jax.lax.bitcast_convert_type
     xc = x_ref[...]                       # (cs, G*32)
     diff = xc - low_ref[i]
+    # slim is sound here because the stats pass certifies with
+    # fastdiv.quantize_fast(slim_gate=True), whose flag set is a
+    # superset of slim's
     qc, _ = _quantize_limb(diff, b_ref[i], eb_ref[i], m0_ref[i],
-                           m1_ref[i])
+                           m1_ref[i], slim=True)
     p = pix_ref[i]
     m = m_ref[i]
     per = per_ref[i] != zero
