@@ -193,6 +193,87 @@ void mnw_delta_stats(const int64_t* x, int64_t n, uint64_t* deltas,
 // Returns 0 on success, 1 + (line index) on parse failure.
 // ---------------------------------------------------------------------------
 
+// Clinger fast path for decimal -> double: when the significand fits
+// 53 bits and the decimal exponent is within +-22, value = w * 10^q is
+// ONE exactly-representable IEEE multiply/divide away, so a single
+// hardware op is correctly rounded -- bit-identical to strtod by
+// construction (W. Clinger, "How to read floating point numbers
+// accurately", PLDI '90; the same fast path glibc itself short-cuts).
+// Catalog fields (%.5f positions, %.6e masses, integer IDs) all land
+// here; anything else (>= 19 digits, big exponents, inf/nan, hex)
+// falls back to strtod.  Returns false when the slow path must run.
+static const double kPow10[23] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10,
+    1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21,
+    1e22};
+
+static inline bool fast_field_to_double(const char* s, int64_t len,
+                                        double* out) {
+    const char* p = s;
+    const char* end = s + len;
+    if (p >= end) return false;
+    bool neg = false;
+    if (*p == '-' || *p == '+') {
+        neg = (*p == '-');
+        p++;
+    }
+    uint64_t w = 0;
+    int digits = 0;
+    int frac = 0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+        if (digits < 19) {
+            w = w * 10 + (uint64_t)(*p - '0');
+            if (w) digits++;  // leading zeros are free
+        } else {
+            return false;  // significand may not fit: slow path
+        }
+        any = true;
+        p++;
+    }
+    if (p < end && *p == '.') {
+        p++;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (digits < 19) {
+                w = w * 10 + (uint64_t)(*p - '0');
+                if (w) digits++;
+            } else {
+                return false;
+            }
+            frac++;
+            any = true;
+            p++;
+        }
+    }
+    if (!any) return false;  // "inf", "nan", "", "e5", hex: slow path
+    int64_t q = -frac;
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        p++;
+        bool eneg = false;
+        if (p < end && (*p == '-' || *p == '+')) {
+            eneg = (*p == '-');
+            p++;
+        }
+        if (p >= end || *p < '0' || *p > '9') return false;
+        int64_t ex = 0;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (ex < 10000) ex = ex * 10 + (*p - '0');
+            p++;
+        }
+        q += eneg ? -ex : ex;
+    }
+    if (p != end) return false;  // trailing junk: let strtod decide
+    if (w == 0) {
+        *out = neg ? -0.0 : 0.0;
+        return true;
+    }
+    if (w >= (1ULL << 53) || q < -22 || q > 22) return false;
+    double v = (double)w;  // exact: w < 2^53
+    v = q < 0 ? v / kPow10[-q] : v * kPow10[q];  // one rounding
+    *out = neg ? -v : v;
+    return true;
+}
+
 static int64_t parse_lines_range(
     const char* buf, const int64_t* line_starts, const int64_t* line_ends,
     int64_t l0, int64_t l1, const int64_t* col_idx, int64_t n_cols,
@@ -215,13 +296,17 @@ static int64_t parse_lines_range(
         for (int64_t c = 0; c < n_cols; c++) {
             int64_t ci = col_idx[c];
             if (ci >= nf) return 1 + li;
-            char tmp[64];
-            int64_t m = std::min<int64_t>(flen[ci], 63);
-            std::memcpy(tmp, fields[ci], m);
-            tmp[m] = 0;
-            char* endp = nullptr;
-            double v = std::strtod(tmp, &endp);
-            if (endp == tmp) return 1 + li;
+            double v;
+            if (!fast_field_to_double(fields[ci], flen[ci], &v)) {
+                // slow path: NUL-terminate a copy for strtod
+                char tmp[64];
+                int64_t m = std::min<int64_t>(flen[ci], 63);
+                std::memcpy(tmp, fields[ci], m);
+                tmp[m] = 0;
+                char* endp = nullptr;
+                v = std::strtod(tmp, &endp);
+                if (endp == tmp) return 1 + li;
+            }
             out[c][li] = v;
         }
     }

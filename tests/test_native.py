@@ -106,3 +106,43 @@ def test_native_encode_float_block_matches_spec():
         assert got[0] == want[0]
         assert got[1] == want[1] and got[2] == want[2]
         np.testing.assert_array_equal(got[3], want[3])
+
+
+def test_parse_columns_bit_equals_python_float():
+    """The native field parser (Clinger fast path + strtod fallback,
+    native/fastbits.cpp fast_field_to_double) is bit-identical to
+    CPython's correctly rounded float() across format-typical and
+    adversarial decimal strings (halfway cases, subnormals, huge/tiny
+    exponents, >19-digit significands that must take the slow path)."""
+    rng = np.random.default_rng(0)
+    vals = []
+    vals += ["%.5f" % v for v in rng.uniform(-1e3, 1e3, 1000)]
+    signs = np.where(rng.integers(0, 2, 1000), 1, -1)
+    vals += ["%.6e" % v
+             for v in 10.0 ** rng.uniform(-300, 300, 1000) * signs]
+    vals += ["%d" % v for v in rng.integers(-10**18, 10**18, 1000)]
+    raw = np.frombuffer(
+        rng.integers(0, 2**64, 400, dtype=np.uint64).tobytes(),
+        dtype=np.float64)
+    vals += ["%.17g" % v for v in raw if np.isfinite(v)]
+    vals += ["5e-324", "2.4703282292062327e-324",
+             "1.7976931348623157e308", "9007199254740993",
+             "9007199254740992.5", "0.1", "-0.0", "0", "5.", ".5",
+             "+12", "1e22", "1e23", "-1e-22",
+             "123456789012345678901234567890",
+             "0.00000000000000000000000000001",
+             "3.141592653589793238462643383279", "1e-310",
+             "2.2250738585072011e-308",
+             "1.00000000000000011102230246251565404236316680908203125"]
+    buf = ("\n".join(vals) + "\n").encode()
+    starts, ends, pos = [], [], 0
+    for v in vals:
+        starts.append(pos)
+        pos += len(v)
+        ends.append(pos)
+        pos += 1
+    out = native.parse_columns(buf, np.array(starts, np.int64),
+                               np.array(ends, np.int64), [0], 2)
+    want = np.array([float(v) for v in vals])
+    np.testing.assert_array_equal(out[0].view(np.uint64),
+                                  want.view(np.uint64))
