@@ -201,6 +201,10 @@ def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
     import time as _time
 
     n_blocks = fr.blocks()
+    # prefetch depth 1: exactly one text block parses ahead of the
+    # encode.  Depth 2 was measured SLOWER on the 4-core host (two
+    # 16-thread parses contend with the writer's 4 encode threads:
+    # 231 vs 240 MB/s mean over 3 runs) -- don't deepen it again.
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(fr.block, 0, names, dtypes)
         for b in range(n_blocks):

@@ -140,6 +140,7 @@ class Writer:
         self.l = np.float32(0)
         self.boundary = np.float32(0)
         self.cells = 0
+        self._pool = None  # lazy per-writer column-encode thread pool
 
     def header(self, names, text: str, cols) -> None:
         """Write the text/names/columns headers
@@ -170,6 +171,43 @@ class Writer:
         self.block_sizes.append(n)
         self.blocks += 1
 
+        # Encode Int/Float columns on worker threads -- the native
+        # encode/log10 kernels and numpy release the GIL, so columns
+        # genuinely parallelize on the host cores -- then write the
+        # payloads in column order (byte-identical to the sequential
+        # loop: the same per-column encode the groups' write_data runs,
+        # just hoisted).  Ref sequential loop: go/minh/minh.go:99-139.
+        from ..core import groups as _groups, spec as _spec
+
+        def encode_col(i, x):
+            col = self.cols[i]
+            if col.type == Int:
+                return _spec.encode_int_block(
+                    np.asarray(x, np.int64),
+                    pack=_groups._native().pack_bits)[:3]
+            buf = process_float_column(x, col)
+            pixels = _spec.float_group_pixels(col.low, col.high, col.dx)
+            payload, mn, bits, _ = _groups._native().encode_float_block(
+                buf, np.float32(col.low), np.float32(col.high), pixels,
+                periodic=True, clamp_q=False)
+            return payload, mn, bits
+
+        enc_ids = [i for i, c in enumerate(self.cols)
+                   if c.type in (Int, Float)]
+        encoded = {}
+        if len(enc_ids) > 1 and n:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                import os as _os
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=min(4, _os.cpu_count() or 1))
+            futs = {i: self._pool.submit(encode_col, i, cols[i])
+                    for i in enc_ids}
+            encoded = {i: f.result() for i, f in futs.items()}
+        elif enc_ids:
+            encoded = {i: encode_col(i, cols[i]) for i in enc_ids}
+
         for i, x in enumerate(cols):
             col = self.cols[i]
             if ctypes_.is_fixed(col.type):
@@ -178,15 +216,17 @@ class Writer:
                     x, ctypes_.group_dtype(col.type)))
             elif col.type == Int:
                 self.f.int_group(n)
-                self.f.data(np.asarray(x, np.int64))
+                self.f.data_encoded(*encoded[i])
             elif col.type == Float:
-                buf = process_float_column(x, col)
                 self.f.float_group(n, (col.low, col.high), col.dx)
-                self.f.data(buf)
+                self.f.data_encoded(*encoded[i])
             else:
                 raise ValueError("bad column type %d" % col.type)
 
     def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
         self.f.header(struct.pack("<ffq", self.l, self.boundary, self.cells))
         self.f.header(np.int64(self.blocks))
         self.f.header(np.asarray(self.block_sizes, dtype="<i8"))

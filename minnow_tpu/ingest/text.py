@@ -46,6 +46,12 @@ class Reader:
         self.threads = 1
         self.timer = None
         self.names: list[str] | None = None
+        # block() may be called for different blocks from prefetch
+        # threads (cli/text_to_minh.py); the shared handle's seek+read
+        # must not interleave
+        import threading
+
+        self._read_lock = threading.Lock()
         self._find_blocks(_reader_size(f))
 
     # -- block discovery (ref go/text/text.go:82-131) -----------------------
@@ -141,8 +147,9 @@ class Reader:
         import time as _time
 
         t0 = _time.perf_counter()
-        self.f.seek(self.block_starts[b])
-        buf = self.f.read(self.block_sizes[b])
+        with self._read_lock:
+            self.f.seek(self.block_starts[b])
+            buf = self.f.read(self.block_sizes[b])
         t1 = _time.perf_counter()
 
         starts, ends = _data_line_spans(buf, self.config.comment,

@@ -29,7 +29,10 @@ class StageTimer:
     """
 
     def __init__(self):
+        import threading
+
         self.stages: dict[str, list[float]] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str, nbytes: int = 0):
@@ -42,8 +45,11 @@ class StageTimer:
             self.stages[name] = [sec + dt, by + nbytes]
 
     def add(self, name: str, seconds: float, nbytes: int = 0) -> None:
-        sec, by = self.stages.get(name, (0.0, 0))
-        self.stages[name] = [sec + seconds, by + nbytes]
+        # stages may accumulate from prefetch threads; the read-modify-
+        # write below must not interleave
+        with self._lock:
+            sec, by = self.stages.get(name, (0.0, 0))
+            self.stages[name] = [sec + seconds, by + nbytes]
 
     def report(self) -> dict:
         out = {}
