@@ -43,7 +43,12 @@ from ..ingest import rockstar
 from ..utils import config as cfgmod
 from ..utils.name_index import open_index
 
-THREADS = 16
+# native-parse worker count.  The reference hard-codes 16 goroutines
+# (ref text_to_minh.go:35), but std::threads oversubscribed past the
+# core count measurably hurt (16 threads on a 4-core host: ~190 MB/s
+# pipelined vs ~236 at 4 -- spawn cost + contention with the writer's
+# encode pool), so cap at the machine.
+THREADS = min(16, os.cpu_count() or 16)
 
 
 def parse_config(fname: str):
