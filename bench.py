@@ -43,10 +43,20 @@ def _time(fn, *args, iters=3, reps=6, sync=lambda out: out[1]):
     return best
 
 
+def _pallas_enc_on() -> bool:
+    return os.environ.get("MINNOW_TPU_PALLAS_ENCODE", "") != "0"
+
+
+def _pallas_dec_on() -> bool:
+    return os.environ.get("MINNOW_TPU_PALLAS_DECODE", "") != "0"
+
+
 def _bench_shape(b, n, bits, low, high, dx):
     """All four codec paths (XLA / group-Pallas x encode / decode) at
     one (b, n) shape, with on-chip cross-checks.  Returns per-path times
-    (group times are None off-TPU / at non-qualifying shapes)."""
+    (group times are None off-TPU / at non-qualifying shapes / when the
+    env kill switches disabled a kernel path after a validation
+    failure)."""
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +114,8 @@ def _bench_shape(b, n, bits, low, high, dx):
     # group-aligned fused Pallas encode (the production BlockEncoder
     # fast path on TPU); byte-compared on-device against the XLA words
     t_pge = None
-    if on_tpu and pallas_encode.supported_group_enc(bits, n, pixels):
+    if on_tpu and _pallas_enc_on() \
+            and pallas_encode.supported_group_enc(bits, n, pixels):
         g = pallas_codec.group_tiles(bits)
         x2d = jax.device_put(x.reshape(-1, g * 32))
         pge_args = (x2d, enc_args[1], *(jax.device_put(a) for a in
@@ -127,7 +138,8 @@ def _bench_shape(b, n, bits, low, high, dx):
     # Takes the aligned (M, G*bits) words view -- a free reshape where
     # the words live in production (host file buffers).
     t_pg = None
-    if on_tpu and pallas_codec.supported_group(bits, n, pixels):
+    if on_tpu and _pallas_dec_on() \
+            and pallas_codec.supported_group(bits, n, pixels):
         g = pallas_codec.group_tiles(bits)
         w2d = jax.device_put(np.asarray(words).reshape(-1, g * bits))
         pg_args = (w2d, mins, enc_args[1], dec_args[3], enc_args[2],
@@ -230,7 +242,7 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
 
     from minnow_tpu.ops import pallas_encode
 
-    if jax.default_backend() == "tpu" \
+    if jax.default_backend() == "tpu" and _pallas_enc_on() \
             and pallas_encode.supported_pack_enc(bits, n, pixels):
         # two-dispatch big-block encode (XLA stats + stateless pack
         # kernel); words byte-compared against the XLA encode on-device
@@ -263,7 +275,7 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
 
     del a1, a2  # free the encode inputs before the decode allocations
 
-    if jax.default_backend() == "tpu" \
+    if jax.default_backend() == "tpu" and _pallas_dec_on() \
             and pallas_codec.supported_group(bits, n, pixels):
         # decode spread is wider (64->512 blocks, 0.5 -> 4.3 GB out):
         # at this kernel's speed a 2 GB spread resolves to < 4 ms and
@@ -333,7 +345,7 @@ def bench_sustained(batches=16, b=None, n=None):
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
     pixels = spec.float_group_pixels(low, high, dx)
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = (on_tpu
+    use_pallas = (on_tpu and _pallas_enc_on() and _pallas_dec_on()
                   and pallas_encode.supported_group_enc(bits, n or 1 << 17,
                                                         pixels)
                   and pallas_codec.supported_group(bits, n or 1 << 17,
@@ -438,7 +450,8 @@ def bench_pallas_encode(n=1 << 17, b1=256, b2=2048):
 
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
     pixels = spec.float_group_pixels(low, high, dx)
-    if not pallas_encode.supported(bits, n, pixels):
+    if not pallas_encode.supported(bits, n, pixels) \
+            or not _pallas_enc_on():
         return {}
     rng = np.random.default_rng(7)
 
@@ -641,9 +654,29 @@ def main():
     from minnow_tpu.ops import validate
 
     report = validate.validate_backend()
-    assert report["exact"]
+    assert report["exact"]  # core XLA/host codec MUST be bit-exact
+    val_notes = {}
+    # kernel-path validation failures disable that path (env kill
+    # switches honored by production readers/encoders and every bench
+    # section) and are reported -- the bench then times the XLA paths
+    if report.get("pallas_encode") not in (True, None):
+        os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+        val_notes["pallas_encode_validation"] = report["pallas_encode"]
+    if report.get("pallas_group") not in (True, None):
+        os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+        os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
+        val_notes["pallas_group_validation"] = report["pallas_group"]
 
-    enc_gbs, dec_gbs, gb, extra = bench_device()
+    try:
+        enc_gbs, dec_gbs, gb, extra = bench_device()
+    except AssertionError as e:
+        # an on-device cross-check caught a kernel divergence the
+        # validation suite missed: disable the kernels, re-run XLA-only
+        os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+        os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
+        val_notes["pallas_disabled_after"] = str(e)[:200]
+        enc_gbs, dec_gbs, gb, extra = bench_device()
+    extra.update(val_notes)
     try:
         big = bench_big_blocks()
         extra.update(big)

@@ -10,6 +10,8 @@ on-chip by ops/validate.validate_pallas_group.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 __all__ = ["group_decode", "group_decode_ints"]
@@ -19,12 +21,18 @@ __all__ = ["group_decode", "group_decode_ints"]
 INTERPRET = False
 
 
+def _enabled() -> bool:
+    """Kill switch: MINNOW_TPU_PALLAS_DECODE=0 forces the XLA read path
+    (bench.py sets it when on-chip validation fails a kernel path)."""
+    return os.environ.get("MINNOW_TPU_PALLAS_DECODE", "") != "0"
+
+
 def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
                  dither):
     """(B, W) words -> (B, n) float32 via the group kernel, or None when
     the shape/backend/dither doesn't qualify (caller falls back to the
     XLA path)."""
-    if dither not in ("none", "midpoint"):
+    if dither not in ("none", "midpoint") or not _enabled():
         return None
     import jax
 
@@ -58,6 +66,8 @@ def group_decode_ints(words, mins, bits, n):
     """Bulk int decode through the group unpack kernels (u32 for
     widths <= 32, (lo, hi) halves for 33-64 -- covers ID columns), or
     None when the shape/backend doesn't qualify."""
+    if not _enabled():
+        return None
     import jax
 
     if jax.default_backend() != "tpu" and not INTERPRET:

@@ -353,11 +353,18 @@ def validate_backend() -> dict:
         "exact": True,
     }
     if report["backend"] == "tpu":
-        # gate the fused encode kernel the production path auto-selects
-        # on this backend (CPU runs cover it in interpret mode via the
-        # test suite)
-        validate_pallas_encode()
-        report["pallas_encode"] = True
-        validate_pallas_group()
-        report["pallas_group"] = True
+        # gate the fused kernels the production paths auto-select on
+        # this backend (CPU runs cover them in interpret mode via the
+        # test suite).  A kernel-path failure does NOT raise: it is
+        # recorded so the caller can disable that path (env kill
+        # switches MINNOW_TPU_PALLAS_ENCODE/DECODE=0) and proceed with
+        # the XLA paths -- ``exact`` covers the core (XLA/host) codec
+        # only.  bench.py reacts accordingly.
+        for name, fn in (("pallas_encode", validate_pallas_encode),
+                         ("pallas_group", validate_pallas_group)):
+            try:
+                fn()
+                report[name] = True
+            except Exception as e:  # noqa: BLE001 - recorded, path disabled
+                report[name] = "FAILED: %s" % str(e)[:300]
     return report
