@@ -521,12 +521,13 @@ def bench_extra_configs():
         slope(pack18, pack_args, 256, 4096,
               sync=lambda o: o[0, :1]), 3)
 
-    # config: int64 ID column (64-bit delta path), same spread principle
+    # config: int64 ID column via the production two-pass structure
+    # (stats-only read + fused delta+pack, no materialized deltas)
     @jax.jit
     def enc_ids(x, lens):
-        deltas, mins, maxd = codec.prepare_int_blocks(x, lens)
-        deltas = jax.lax.optimization_barrier(deltas)
-        return bitpack.pack_batch(deltas, 41), mins
+        mins, maxd = codec.int_block_stats(x, lens)
+        mins = jax.lax.optimization_barrier(mins)
+        return bitpack.delta_pack_batch(x, mins, lens, 41), mins
 
     def id_args(b):
         x = rng.integers(0, 10**12, (b, 1 << 18), dtype=np.int64)

@@ -219,6 +219,27 @@ def pack_batch(x, bits: int):
     return jax.vmap(lambda a, b: _pack_1d(a, b, bits))(lo, hi)
 
 
+@partial(jax.jit, static_argnames=("bits",))
+def delta_pack_batch(x, mins, n, bits: int):
+    """Fused ``(x - min) & mask -> pack`` at static width ``bits``: the
+    second dispatch of the two-pass int encode (stats come from
+    codec.int_block_stats).  Reads x (8 B/elem) and writes words
+    (bits/8) directly -- no u64 delta round-trip through HBM.  Tail
+    elements past each block's length ``n`` pack as zero, matching
+    codec.prepare_int_blocks (ref go/group.go:242-255); for widths
+    <= 32 the deltas stay native u32 (no 64-bit emulation in the
+    pack)."""
+    mask = jax.lax.broadcasted_iota(
+        jnp.int64, (1, x.shape[1]), 1) < n[:, None]
+    d = jnp.where(mask, x - mins[:, None], 0)
+    if bits <= 32:
+        lo = d.astype(jnp.uint32)  # low 32 bits: exact for bits <= 32
+        return jax.vmap(
+            lambda a: _pack_1d(a, jnp.zeros_like(a), bits))(lo)
+    lo, hi = split_u64(d.astype(jnp.uint64))
+    return jax.vmap(lambda a, b: _pack_1d(a, b, bits))(lo, hi)
+
+
 @partial(jax.jit, static_argnames=("bits", "n"))
 def unpack_batch(words, bits: int, n: int):
     """(B, W) words -> (B, n) uint64."""

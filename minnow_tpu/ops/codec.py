@@ -205,6 +205,23 @@ def prepare_int_blocks(x, n):
     return _delta_stats(x, mask)
 
 
+@jax.jit
+def int_block_stats(x, n):
+    """Stats-only int encode prep: one fused HBM read of ``x``, no
+    delta materialization.  Returns ``(mins, maxdeltas)`` bit-identical
+    to :func:`prepare_int_blocks`'s -- the max u64 delta is the wrapped
+    difference ``max - min`` (mod-2^64 differences are monotone in the
+    int64 order, so the max element realizes it).  First dispatch of
+    the two-pass int encode; BlockEncoder pairs it with the
+    width-bucketed fused delta+pack (bitpack.delta_pack_batch), saving
+    the 8 B/elem u64 delta round-trip through HBM."""
+    mask = _mask(n, x.shape[1])
+    mn = _masked_min(x, mask)
+    mx = _masked_max(x, mask)
+    maxd = jnp.where(n > 0, (mx - mn).astype(jnp.uint64), jnp.uint64(0))
+    return mn, maxd
+
+
 def _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q: bool):
     """Shared tail of the float encode prep: range check, periodic
     recentering (one-pass reduction), delta stats."""

@@ -147,10 +147,36 @@ class BlockEncoder:
                     words[row], width, int(lens[block_id]))
         return payloads
 
+    def _bucket_pack_ints(self, x, mins, bits, lens) -> list:
+        """Width-bucketed fused delta+pack for int blocks: the second
+        dispatch of the two-pass int encode reads ``x`` + per-block
+        mins and emits words directly (no materialized deltas)."""
+        b = x.shape[0]
+        payloads: list = [b""] * b
+        mins64 = np.asarray(mins, np.int64)
+        lens64 = np.asarray(lens, np.int64)
+        for width in np.unique(bits):
+            width = int(width)
+            if width == 0:
+                continue
+            idx = np.nonzero(bits == width)[0]
+            rows = x[idx] if len(idx) < b else x
+            words = np.asarray(bitpack.delta_pack_batch(
+                rows, mins64[idx], lens64[idx], width))
+            for row, block_id in enumerate(idx):
+                payloads[block_id] = bitpack.words_to_bytes(
+                    words[row], width, int(lens[block_id]))
+        return payloads
+
     # -- encode ------------------------------------------------------------
 
     def encode_int_blocks(self, x, lens=None) -> EncodedBlocks:
-        """Encode (B, N) int64 blocks (ref go/group.go:242-255)."""
+        """Encode (B, N) int64 blocks (ref go/group.go:242-255).
+
+        Two-pass: a fused stats-only read (codec.int_block_stats), then
+        a width-bucketed fused delta+pack straight from ``x``
+        (bitpack.delta_pack_batch) -- the u64 deltas never round-trip
+        through HBM, and widths <= 32 pack in native u32."""
         x, b, n, lens = self._as_batch(x, lens)
         bp = self._pad(b)
         if bp != b:
@@ -159,14 +185,14 @@ class BlockEncoder:
         else:
             lens_p = lens
         (x_d, lens_d) = self._shard(x, lens_p)
-        deltas, mins, maxd = codec.prepare_int_blocks(x_d, lens_d)
-        deltas = deltas[:b]  # stays on device
-        mins = np.asarray(mins)[:b].copy()
+        mins_d, maxd = codec.int_block_stats(x_d, lens_d)
+        x_d = x_d[:b]  # stays on device for the pack dispatches
+        mins = np.asarray(mins_d)[:b].copy()
         maxd = np.asarray(maxd)[:b]
         mins[lens == 0] = 0  # empty block: min is 0 (ref go/group.go:244)
         bits = np.array([spec.precision_needed(int(m)) for m in maxd],
                         dtype=np.int64)
-        payloads = self._bucket_pack(deltas, bits, lens)
+        payloads = self._bucket_pack_ints(x_d, mins, bits, lens)
         return EncodedBlocks(payloads, mins, bits, lens)
 
     def encode_float_blocks(self, x, low, high, pixels, lens=None,

@@ -295,3 +295,25 @@ def test_pallas_encode_path_unsupported_shape_falls_back():
     got = BlockEncoder(pallas=True).encode_float_blocks(
         x, 0.0, 10.0, pixels)
     assert got.payloads == want.payloads
+
+
+def test_int_encode_fused_delta_pack_edges(mesh8):
+    """The two-pass int encode (stats-only read + fused delta+pack)
+    matches spec.encode_int_block bytes on the edge shapes: masked
+    tails (lens < N), full-span wraps (max - min overflows int64),
+    widths on both sides of 32, and negative mins."""
+    rng = np.random.default_rng(9)
+    b, n = 8, 96
+    x = rng.integers(-(2**40), 2**40, (b, n), dtype=np.int64)
+    x[0, 0], x[0, 1] = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    x[1] = rng.integers(0, 7, n)                   # 3-bit deltas
+    x[2] = rng.integers(-(2**62), 2**62, n)        # ~63-bit deltas
+    x[4] = -(10**12) + rng.integers(0, 100, n)     # negative mins
+    lens = np.array([n, n, n, 0, n, 17, n, 1], dtype=np.int64)
+    enc = BlockEncoder(mesh8).encode_int_blocks(x, lens=lens)
+    for i in range(b):
+        payload, mn, bits = spec.encode_int_block(x[i, :lens[i]])
+        if lens[i] == 0:
+            mn = 0
+        assert enc.payloads[i] == payload, i
+        assert (enc.mins[i], enc.bits[i]) == (mn, bits), i
