@@ -27,6 +27,29 @@ def _enabled() -> bool:
     return os.environ.get("MINNOW_TPU_PALLAS_DECODE", "") != "0"
 
 
+def _aligned_words2d(words, bits, n):
+    """Shared geometry of the group fast paths: pad the (B, W) word rows
+    up to the kernel's 32*G*8 alignment and return
+    ``(words2d (B*t/G, G*bits), n_pad)``, or None when the padding
+    waste would eat the kernel's win -- rejects n < align (waste >=
+    100%) and lengths just past an alignment boundary (e.g. n = align+1
+    would decode ~2x the data; bound: n_pad <= 1.25 * n)."""
+    from ..ops import pallas_codec
+
+    G = pallas_codec.group_tiles(bits)
+    align = 32 * G * 8
+    n_pad = -(-n // align) * align
+    supported = pallas_codec.supported_group64 if bits > 32 \
+        else pallas_codec.supported_group
+    if n_pad * 4 > n * 5 or not supported(bits, n_pad):
+        return None
+    w_pad = (n_pad // 32) * bits
+    if words.shape[1] < w_pad:
+        words = np.pad(words, ((0, 0), (0, w_pad - words.shape[1])))
+    t_g = (n_pad // 32) // G
+    return words[:, :w_pad].reshape(len(words) * t_g, G * bits), n_pad
+
+
 def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
                  dither):
     """(B, W) words -> (B, n) float32 via the group kernel, or None when
@@ -42,20 +65,10 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
 
     if not (0 < bits <= 32 and pixels.max() < (1 << 24)):
         return None
-    G = pallas_codec.group_tiles(bits)
-    align = 32 * G * 8
-    n_pad = -(-n // align) * align
-    # padding waste must not eat the kernel's win: rejects n < align
-    # (waste >= 100%) and lengths just past an alignment boundary
-    # (e.g. n = align+1 would decode ~2x the data)
-    if n_pad * 4 > n * 5 or not pallas_codec.supported_group(
-            bits, n_pad, 1):
+    geo = _aligned_words2d(words, bits, n)
+    if geo is None:
         return None
-    w_pad = (n_pad // 32) * bits
-    if words.shape[1] < w_pad:
-        words = np.pad(words, ((0, 0), (0, w_pad - words.shape[1])))
-    t_g = (n_pad // 32) // G
-    words2d = words[:, :w_pad].reshape(len(words) * t_g, G * bits)
+    words2d, n_pad = geo
     dec = np.asarray(pallas_codec.decode_float_pallas_group(
         words2d, mins, lows, highs, pixels, periodic, int(bits),
         int(n_pad), dither=dither, interpret=INTERPRET))
@@ -72,21 +85,14 @@ def group_decode_ints(words, mins, bits, n):
 
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
-    from ..ops import codec, pallas_codec
+    from ..ops import codec
 
     if not 0 < bits <= 64:
         return None
-    G = pallas_codec.group_tiles(bits)
-    align = 32 * G * 8
-    n_pad = -(-n // align) * align
-    # same <=25% padding-waste bound as the float path
-    if n_pad * 4 > n * 5:
+    geo = _aligned_words2d(words, bits, n)
+    if geo is None:
         return None
-    w_pad = (n_pad // 32) * bits
-    if words.shape[1] < w_pad:
-        words = np.pad(words, ((0, 0), (0, w_pad - words.shape[1])))
-    t_g = (n_pad // 32) // G
-    words2d = words[:, :w_pad].reshape(len(words) * t_g, G * bits)
+    words2d, n_pad = geo
     dec = np.asarray(codec.decode_int_blocks_group(
         words2d, mins, int(bits), int(n_pad), interpret=INTERPRET))
     return dec[:, :n]

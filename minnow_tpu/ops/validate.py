@@ -222,8 +222,11 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
 
     rng = np.random.default_rng(seed)
 
-    # unpack: even (G=64) and odd (G=128) widths + the 1/32 edges
-    for bits in (18, 13, 1, 32):
+    # unpack: every structural class the kernel compiles differently --
+    # _tile_step(bits) in {1, 2, 4, 8} x group size G in {64, 128} --
+    # plus the 1/32 edges (production engages DATA-determined widths,
+    # so each class must be gated, not just the flagship width)
+    for bits in (18, 13, 1, 32, 8, 12, 22):
         g = pallas_codec.group_tiles(bits)
         n = 32 * g * 8
         vals = rng.integers(0, 1 << bits, (3, n), dtype=np.uint64)
@@ -236,8 +239,9 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
             raise AssertionError("group unpack diverges at bits=%d"
                                  % bits)
 
-    # wide (33-64-bit) unpack + the fused int64 combine (ID columns)
-    for bits in (41, 64):
+    # wide (33-64-bit) unpack + the fused int64 combine (ID columns):
+    # same class coverage -- ts 8/4/2/1 x G 128/64 as reachable
+    for bits in (41, 64, 33, 34, 36, 40):
         g = pallas_codec.group_tiles(bits)
         n = 32 * g * 8
         hi_excl = (1 << bits) - 1 if bits == 64 else (1 << bits)

@@ -128,45 +128,44 @@ class BlockEncoder:
             lens = np.asarray(lens, dtype=np.int64)
         return x, b, n, lens
 
-    def _bucket_pack(self, deltas, bits, lens) -> list:
-        """Pack rows of ``deltas`` grouped by width; returns per-row
-        payload bytes.  ``deltas`` stays on device between the stats pass
-        and the width-specialized pack (only the packed words -- the
-        compressed bytes -- ever cross to host)."""
-        b = deltas.shape[0]
+    @staticmethod
+    def _bucket_loop(rows_all, bits, lens, pack_rows) -> list:
+        """Shared width-bucketing: group rows by width, call
+        ``pack_rows(rows, idx, width) -> (B_idx, W) words`` per bucket,
+        and slice each row's payload bytes.  Device rows stay on device
+        between the stats pass and the width-specialized pack (only the
+        packed words -- the compressed bytes -- ever cross to host)."""
+        b = rows_all.shape[0]
         payloads: list = [b""] * b
         for width in np.unique(bits):
             width = int(width)
-            idx = np.nonzero(bits == width)[0]
             if width == 0:
                 continue
-            rows = deltas[idx] if len(idx) < b else deltas
-            words = np.asarray(bitpack.pack_batch(rows, width))
+            idx = np.nonzero(bits == width)[0]
+            rows = rows_all[idx] if len(idx) < b else rows_all
+            words = np.asarray(pack_rows(rows, idx, width))
             for row, block_id in enumerate(idx):
                 payloads[block_id] = bitpack.words_to_bytes(
                     words[row], width, int(lens[block_id]))
         return payloads
 
+    def _bucket_pack(self, deltas, bits, lens) -> list:
+        """Pack rows of materialized ``deltas`` grouped by width
+        (the float encode prep's tail)."""
+        return self._bucket_loop(
+            deltas, bits, lens,
+            lambda rows, idx, width: bitpack.pack_batch(rows, width))
+
     def _bucket_pack_ints(self, x, mins, bits, lens) -> list:
         """Width-bucketed fused delta+pack for int blocks: the second
         dispatch of the two-pass int encode reads ``x`` + per-block
         mins and emits words directly (no materialized deltas)."""
-        b = x.shape[0]
-        payloads: list = [b""] * b
         mins64 = np.asarray(mins, np.int64)
         lens64 = np.asarray(lens, np.int64)
-        for width in np.unique(bits):
-            width = int(width)
-            if width == 0:
-                continue
-            idx = np.nonzero(bits == width)[0]
-            rows = x[idx] if len(idx) < b else x
-            words = np.asarray(bitpack.delta_pack_batch(
+        return self._bucket_loop(
+            x, bits, lens,
+            lambda rows, idx, width: bitpack.delta_pack_batch(
                 rows, mins64[idx], lens64[idx], width))
-            for row, block_id in enumerate(idx):
-                payloads[block_id] = bitpack.words_to_bytes(
-                    words[row], width, int(lens[block_id]))
-        return payloads
 
     # -- encode ------------------------------------------------------------
 

@@ -40,9 +40,7 @@ class StageTimer:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            sec, by = self.stages.get(name, (0.0, 0))
-            self.stages[name] = [sec + dt, by + nbytes]
+            self.add(name, time.perf_counter() - t0, nbytes)
 
     def add(self, name: str, seconds: float, nbytes: int = 0) -> None:
         # stages may accumulate from prefetch threads; the read-modify-

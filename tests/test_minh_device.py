@@ -2,6 +2,7 @@
 (dither="none") and within dx (uniform)."""
 
 import numpy as np
+import pytest
 
 from minnow_tpu.formats import minh, minh_device
 
@@ -93,15 +94,17 @@ def test_device_group_path_interpret(tmp_path, monkeypatch):
                                   host.view(np.uint32))
 
 
-def test_device_group_int_path_interpret(tmp_path, monkeypatch):
+@pytest.mark.parametrize("n", [32768, 30000])
+def test_device_group_int_path_interpret(tmp_path, monkeypatch, n):
     """Bulk int reads engage the group unpack kernels -- wide (ID
     columns, 33-64-bit deltas) and narrow -- and equal the host reader
-    exactly (interpret mode)."""
+    exactly (interpret mode).  n=30000 exercises the pad-to-alignment
+    branch (words padded to 32768 elements, the tail sliced off)."""
     from minnow_tpu.formats import device_common
 
     fname = str(tmp_path / "c.minh")
     rng = np.random.default_rng(4)
-    n = 32768  # odd widths group at G=128 -> 32768 alignment
+    # n=32768: odd widths group at G=128 -> exact 32768 alignment
     w = minh.create(fname)
     w.header(["id", "flag"], "t", [minh.Column(type=minh.Int),
                                    minh.Column(type=minh.Int)])
