@@ -51,17 +51,29 @@ def _aligned_words2d(words, bits, n):
 
 
 def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
-                 dither):
+                 dither, block_ids=None, seed=0):
     """(B, W) words -> (B, n) float32 via the group kernel, or None when
     the shape/backend/dither doesn't qualify (caller falls back to the
-    XLA path)."""
-    if dither not in ("none", "midpoint") or not _enabled():
+    XLA path).
+
+    ``none``/``midpoint`` run fully fused in the kernel.  ``uniform``
+    (the default read mode) runs the kernel unpack + the XLA
+    threefry-dither/dequantize tail -- the dither stream is DEFINED by
+    XLA threefry, so it cannot move into the kernel; replacing just the
+    unpack still removes the XLA decode's dominant cost.  Requires
+    ``block_ids`` (the dither keys)."""
+    if not _enabled():
+        return None
+    if dither == "uniform":
+        if block_ids is None:
+            return None
+    elif dither not in ("none", "midpoint"):
         return None
     import jax
 
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
-    from ..ops import pallas_codec
+    from ..ops import codec, pallas_codec
 
     if not (0 < bits <= 32 and pixels.max() < (1 << 24)):
         return None
@@ -69,6 +81,12 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
     if geo is None:
         return None
     words2d, n_pad = geo
+    if dither == "uniform":
+        dec = np.asarray(codec.decode_float_blocks32_group(
+            words2d, mins, lows, highs, pixels, periodic,
+            np.asarray(block_ids, np.int64), int(bits), int(n),
+            int(n_pad), seed=int(seed), interpret=INTERPRET))
+        return dec
     dec = np.asarray(pallas_codec.decode_float_pallas_group(
         words2d, mins, lows, highs, pixels, periodic, int(bits),
         int(n_pad), dither=dither, interpret=INTERPRET))

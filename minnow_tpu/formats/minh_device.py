@@ -73,7 +73,8 @@ def read_floats(reader: minh_mod.Reader, names, dither: str = "uniform",
             dec = None
             if fast and bits:
                 dec = _group_decode(words, mins, lows, highs, pixels,
-                                    periodic, int(bits), int(n), dither)
+                                    periodic, int(bits), int(n), dither,
+                                    block_ids=block_ids, seed=seed)
             if dec is None:
                 decode = codec.decode_float_blocks32 if fast \
                     else codec.decode_float_blocks

@@ -60,7 +60,8 @@ def read_vectors(reader: minp_fmt.Reader, dither: str = "none",
             if fast and bits:
                 dec = device_common.group_decode(
                     words, mins, lows, highs, pixels, periodic,
-                    int(bits), int(n_sub3), dither)
+                    int(bits), int(n_sub3), dither,
+                    block_ids=block_ids, seed=seed)
             if dec is None:
                 decode = codec.decode_float_blocks32 if fast \
                     else codec.decode_float_blocks

@@ -406,6 +406,33 @@ def decode_float_blocks32(words, mins, low, high, pixels, periodic,
                         u)
 
 
+@partial(jax.jit, static_argnames=("bits", "n", "n_pad", "interpret"))
+def decode_float_blocks32_group(words2d, mins, low, high, pixels,
+                                periodic, block_ids, bits: int,
+                                n: int, n_pad: int, seed: int = 0,
+                                interpret: bool = False):
+    """Uniform-dither bulk decode with the group-aligned Pallas unpack
+    replacing the XLA unpack (the decode experiments' dominant cost);
+    the threefry dither + dequantize stay XLA because the device dither
+    stream is DEFINED by XLA threefry fold_in (docs/STATUS.md roadmap).
+    Bit-identical to decode_float_blocks32(dither="uniform"): q is
+    unpacked at the padded length and sliced to ``n`` BEFORE the dither
+    (jax threefry output depends on the draw length -- no prefix
+    property -- so u must be drawn at the true n)."""
+    from . import pallas_codec
+
+    b = mins.shape[0]
+    vals = pallas_codec.unpack_pallas_group(words2d, bits, n_pad,
+                                            interpret=interpret)
+    q = vals.reshape(b, n_pad)[:, :n].astype(jnp.int32) \
+        + mins[:, None].astype(jnp.int32)
+    p32 = pixels[:, None].astype(jnp.int32)
+    q = jnp.where(periodic[:, None], bound(q, 0, p32), q)
+    u = _dither_u(block_ids, n, "uniform", seed)
+    return dequantize24(q, low[:, None], high[:, None], pixels[:, None],
+                        u)
+
+
 @partial(jax.jit, static_argnames=("bits", "n", "dither"))
 def decode_float_blocks(words, mins, low, high, pixels, periodic,
                         block_ids, bits: int, n: int,

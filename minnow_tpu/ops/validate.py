@@ -288,6 +288,23 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
                               got.reshape(bsz, n).view(np.uint32)):
             raise AssertionError("group fused decode diverges from XLA "
                                  "decode at t_g=%d" % t_g)
+
+        # uniform dither: kernel unpack + XLA threefry/dequant tail
+        # (the production DEFAULT read mode) vs the all-XLA path,
+        # bitwise -- incl. the slice-before-dither at a ragged n
+        n_true = n - 7
+        ref_u = np.asarray(codec.decode_float_blocks32(
+            words[:, :max(bitpack.words_per_block(bits, n_true), 1)],
+            mins, low, high, pix, per, np.arange(bsz), bits, n_true,
+            dither="uniform", seed=3))
+        got_u = np.asarray(codec.decode_float_blocks32_group(
+            words.reshape(-1, g * bits), mins, low, high, pix, per,
+            np.arange(bsz), bits, n_true, n, seed=3,
+            interpret=interpret))
+        if not np.array_equal(ref_u.view(np.uint32),
+                              got_u.view(np.uint32)):
+            raise AssertionError("group uniform decode diverges from "
+                                 "XLA decode at t_g=%d" % t_g)
     n, bsz = 32 * g * 8, 4  # the encode check below reuses this shape
 
     # fused group encode vs host spec bytes

@@ -162,3 +162,42 @@ def test_verify_minnow_cli(tmp_path, capsys):
     assert e.value.code == 1
     out = capsys.readouterr().out
     assert "ok" in out and "INVALID" in out
+
+
+def test_device_group_uniform_dither_interpret(tmp_path, monkeypatch):
+    """Uniform-dither bulk reads (the default read mode) engage the
+    kernel-unpack + XLA-threefry-tail path and are bit-identical to the
+    all-XLA device path (the device dither stream's definition)."""
+    from minnow_tpu.formats import device_common
+
+    fname = str(tmp_path / "u.minh")
+    rng = np.random.default_rng(6)
+    n = 16384  # 18-bit floats group at G=64 -> exact 16384 alignment
+    w = minh.create(fname)
+    w.header(["x"], "t", [minh.Column(type=minh.Float, low=0.0,
+                                      high=250.0, dx=0.001)])
+    w.geometry(250, 0, 0)
+    w.block([rng.uniform(0, 249.9, n).astype(np.float32)])
+    w.block([rng.uniform(0, 249.9, n).astype(np.float32)])
+    w.close()
+
+    r = minh.open(fname, dither="uniform")
+    # all-XLA reference via the kill switch
+    monkeypatch.setenv("MINNOW_TPU_PALLAS_DECODE", "0")
+    ref = minh_device.read_floats(r, ["x"], dither="uniform", seed=5)
+    monkeypatch.delenv("MINNOW_TPU_PALLAS_DECODE")
+    used = []
+    orig = device_common.group_decode
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        used.append(out is not None)
+        return out
+
+    monkeypatch.setattr(minh_device, "_group_decode", spy)
+    monkeypatch.setattr(device_common, "INTERPRET", True)
+    got = minh_device.read_floats(r, ["x"], dither="uniform", seed=5)
+    r.close()
+    assert used and all(used), "uniform group path did not engage"
+    np.testing.assert_array_equal(got["x"].view(np.uint32),
+                                  ref["x"].view(np.uint32))
