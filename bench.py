@@ -537,6 +537,54 @@ def bench_extra_configs():
     out["int64_id_encode_GBps"] = round(
         slope(enc_ids, id_args, 64, 1024,
               sync=lambda o: o[1]), 3)
+
+    # config: uniform-dither bulk decode (the DEFAULT read mode) --
+    # kernel unpack + XLA threefry/dequant tail vs the all-XLA path
+    if jax.default_backend() == "tpu" and _pallas_dec_on():
+        from minnow_tpu.core import spec
+        from minnow_tpu.ops import pallas_codec
+
+        bits, low, high, dx = 18, 0.0, 250.0, 0.001
+        pixels = spec.float_group_pixels(low, high, dx)
+        n = 1 << 17
+        g = pallas_codec.group_tiles(bits)
+
+        def dec_u_args(b):
+            t_g = (n // 32) // g
+            w = rng.integers(0, 1 << 32, (b * t_g, g * bits),
+                             dtype=np.uint64).astype(np.uint32)
+            return ((jax.device_put(w), np.zeros(b, np.int64),
+                     np.full(b, low, np.float32),
+                     np.full(b, high, np.float32),
+                     np.full(b, pixels, np.int64), np.ones(b, bool),
+                     np.arange(b, dtype=np.int64)), b * n * 4)
+
+        def dec_u(w2d, mins, lo, hi, pix, per, ids):
+            return codec.decode_float_blocks32_group(
+                w2d, mins, lo, hi, pix, per, ids, bits, n, n)
+
+        out["decode_uniform_group_GBps"] = round(
+            slope(dec_u, dec_u_args, 256, 4096,
+                  sync=lambda o: o[:1, 0]), 3)
+
+        def dec_u_xla_args(b):
+            w = rng.integers(
+                0, 1 << 32, (b, bitpack.words_per_block(bits, n)),
+                dtype=np.uint64).astype(np.uint32)
+            return ((jax.device_put(w), np.zeros(b, np.int64),
+                     np.full(b, low, np.float32),
+                     np.full(b, high, np.float32),
+                     np.full(b, pixels, np.int64), np.ones(b, bool),
+                     np.arange(b, dtype=np.int64)), b * n * 4)
+
+        def dec_u_xla(w, mins, lo, hi, pix, per, ids):
+            return codec.decode_float_blocks32(
+                w, mins, lo, hi, pix, per, ids, bits, n,
+                dither="uniform")
+
+        out["decode_uniform_xla_GBps"] = round(
+            slope(dec_u_xla, dec_u_xla_args, 256, 2048,
+                  sync=lambda o: o[:1, 0]), 3)
     return out
 
 
