@@ -1,0 +1,25 @@
+#!/bin/bash
+# Post-tunnel-recovery sequence: warm + gate the new kernels, then the
+# full bench, then the int-encode attribution probe.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
+LOG=tools/chip_recheck.log
+: > "$LOG"
+echo "=== validate $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 4000 python -c "
+import jax
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from minnow_tpu.ops import validate
+import json
+print(json.dumps(validate.validate_backend()))
+" >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "=== bench $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 5400 python bench.py >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "=== int attrib $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 1800 python tools/int_encode_attrib.py >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "ALL DONE" >> "$LOG"
