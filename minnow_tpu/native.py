@@ -60,6 +60,9 @@ def _load():
         ctypes.c_char_p, i64, ctypes.c_char, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int]
     lib.mnw_scan_lines.restype = i64
+    lib.mnw_count_newlines.argtypes = [ctypes.c_char_p, i64,
+                                       ctypes.c_int]
+    lib.mnw_count_newlines.restype = i64
     lib.mnw_log10_f32.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p]
     _lib = lib
     return _lib
@@ -171,7 +174,9 @@ def scan_lines(buf: bytes, comment: bytes = b"#", threads: int = 0):
     if lib is None:
         return None
     n = len(buf)
-    cap = buf.count(b"\n") + 1
+    # capacity via the threaded native counter: CPython's bytes.count
+    # single-byte loop ran at ~0.7 GB/s here and bottlenecked the stage
+    cap = lib.mnw_count_newlines(buf, n, threads or os.cpu_count()) + 1
     starts = np.empty(cap, dtype=np.int64)
     ends = np.empty(cap, dtype=np.int64)
     cnt = lib.mnw_scan_lines(buf, n, comment[:1], starts.ctypes.data,
