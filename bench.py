@@ -815,6 +815,9 @@ def main():
 
     report = validate.validate_backend()
     assert report["exact"]  # core XLA/host codec MUST be bit-exact
+    # the full validation suite strictly subsumes the per-process
+    # one-shot kernel self-check; skip it for the rest of this run
+    os.environ["MINNOW_TPU_PALLAS_SELFCHECK"] = "0"
     val_notes = {}
     # kernel-path validation failures disable that path (env kill
     # switches honored by production readers/encoders and every bench

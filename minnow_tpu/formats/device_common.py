@@ -73,8 +73,10 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
 
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
-    from ..ops import codec, pallas_codec
+    from ..ops import codec, pallas_codec, selfcheck
 
+    if not selfcheck.kernel_ok("decode", interpret=INTERPRET):
+        return None
     if not (0 < bits <= 32 and pixels.max() < (1 << 24)):
         return None
     geo = _aligned_words2d(words, bits, n)
@@ -103,8 +105,10 @@ def group_decode_ints(words, mins, bits, n):
 
     if jax.default_backend() != "tpu" and not INTERPRET:
         return None
-    from ..ops import codec
+    from ..ops import codec, selfcheck
 
+    if not selfcheck.kernel_ok("decode", interpret=INTERPRET):
+        return None
     if not 0 < bits <= 64:
         return None
     geo = _aligned_words2d(words, bits, n)

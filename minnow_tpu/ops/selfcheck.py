@@ -1,0 +1,139 @@
+"""One-shot per-process self-certification of the Pallas kernel paths.
+
+Production readers/encoders auto-select the fused Pallas kernels on the
+TPU backend (parallel/pipeline.BlockEncoder, formats/device_common)
+without requiring bench.py's full ``ops/validate.validate_backend`` run
+to have happened in-process.  A Mosaic toolchain regression (a
+miscompile class this repo has observed on real hardware — see
+docs/STATUS.md "Mosaic miscompiles") would then silently corrupt
+written files and bulk reads for any library/CLI user.
+
+So: on the FIRST auto-selection of a kernel family in a process, run a
+tiny spec-vs-kernel byte comparison on the live backend, cache the
+verdict, and make the caller fall back to the (always-validated) XLA
+path on failure.  Cost is two small jit graphs per family, once per
+process; with the persistent compile cache this is sub-second on a
+local chip.
+
+``MINNOW_TPU_PALLAS_SELFCHECK=0`` skips the check (bench.py sets it
+after running the full validation suite, which strictly subsumes these
+representatives).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+__all__ = ["kernel_ok", "reset"]
+
+_VERDICTS: dict = {}
+
+
+def reset() -> None:
+    """Clear cached verdicts (tests only)."""
+    _VERDICTS.clear()
+
+
+def _check_encode(interpret: bool) -> None:
+    """Fused group encode at the flagship width == host spec bytes
+    (representative of the family; full width coverage lives in
+    ops/validate.validate_pallas_group and the test suite)."""
+    from ..core import spec
+    from . import bitpack, fastdiv, pallas_codec, pallas_encode
+
+    rng = np.random.default_rng(11)
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    bits = 18
+    g = pallas_codec.group_tiles(bits)
+    n, bsz = 32 * g * 8, 2
+    x = rng.uniform(0.0, 249.9, (bsz, n)).astype(np.float32)
+    lowv = np.full(bsz, low, np.float32)
+    pixv = np.full(bsz, pixels, np.int64)
+    perv = np.ones(bsz, bool)
+    dxq = np.full(bsz, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+    words, mins, maxd, valid = (
+        np.asarray(a) for a in pallas_encode.encode_float_pallas_group(
+            x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+            bits, n, interpret=interpret))
+    assert valid.all(), "kernel failed to certify in-range blocks"
+    words = words.reshape(bsz, (n // 32) * bits)
+    for i in range(bsz):
+        payload, mn, bts, _ = spec.encode_float_block(
+            x[i], low, high, pixels)
+        assert int(mins[i]) == mn \
+            and spec.precision_needed(int(maxd[i])) == bts, \
+            "kernel stats diverge from spec"
+        assert bts != bits or \
+            bitpack.words_to_bytes(words[i], bits, n) == payload, \
+            "kernel payload bytes diverge from spec"
+
+
+def _check_decode(interpret: bool) -> None:
+    """Fused group decode + wide int decode at the flagship width ==
+    XLA decode, bitwise (the XLA path itself is spec-gated by
+    ops/validate on every backend)."""
+    from ..core import spec
+    from . import bitpack, codec, pallas_codec
+
+    rng = np.random.default_rng(12)
+    bits = 18
+    g = pallas_codec.group_tiles(bits)
+    n, bsz = 32 * g * 8, 2
+    pixels = 250000
+    vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
+    words = np.stack([
+        bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+        for v in vals])
+    mins = np.zeros(bsz, np.int64)
+    low = np.zeros(bsz, np.float32)
+    high = np.full(bsz, 250.0, np.float32)
+    pix = np.full(bsz, pixels, np.int64)
+    per = np.ones(bsz, bool)
+    ref = np.asarray(codec.decode_float_blocks32(
+        words, mins, low, high, pix, per, np.arange(bsz), bits, n,
+        dither="none"))
+    got = np.asarray(pallas_codec.decode_float_pallas_group(
+        words.reshape(-1, g * bits), mins, low, high, pix, per, bits,
+        n, dither="none", interpret=interpret))
+    assert np.array_equal(ref.view(np.uint32),
+                          got.reshape(bsz, n).view(np.uint32)), \
+        "fused float decode diverges from the XLA path"
+    got_i = np.asarray(codec.decode_int_blocks_group(
+        words.reshape(-1, g * bits), mins, bits, n,
+        interpret=interpret))
+    ref_i = np.asarray(codec.decode_int_blocks(words, mins, bits, n))
+    assert np.array_equal(got_i, ref_i), \
+        "fused int decode diverges from the XLA path"
+
+
+_CHECKS = {"encode": _check_encode, "decode": _check_decode}
+
+
+def kernel_ok(family: str, interpret: bool = False) -> bool:
+    """True iff the Pallas kernel ``family`` ("encode" | "decode") passed
+    its one-shot self-check on this backend in this process.  Failure is
+    cached, warned once, and makes production auto-selection fall back
+    to the XLA path."""
+    if os.environ.get("MINNOW_TPU_PALLAS_SELFCHECK", "") == "0":
+        return True
+    key = (family, bool(interpret))
+    verdict = _VERDICTS.get(key)
+    if verdict is None:
+        try:
+            _CHECKS[family](interpret)
+            verdict = True
+        except Exception as e:  # noqa: BLE001 - any failure disables path
+            warnings.warn(
+                "minnow_tpu: Pallas %s kernel failed its one-shot "
+                "self-check on this backend; falling back to the XLA "
+                "path for this process (%s)" % (family, str(e)[:200]),
+                RuntimeWarning, stacklevel=3)
+            verdict = False
+        _VERDICTS[key] = verdict
+    return verdict

@@ -24,35 +24,69 @@ from .pipeline import EncodedBlocks
 __all__ = ["init_distributed", "gather_blocks", "is_coordinator"]
 
 
+# Env vars that signal the caller intends a multi-process run: explicit
+# coordinator config plus the cluster environments jax.distributed
+# auto-detects (SLURM, Open MPI, generic PMI, GKE) -- an intended
+# multi-process run on those clusters must never silently degrade to a
+# wrong single-process run.
+_INTENT_ENV = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES",
+    "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
+    "K8S_NUM_PROCESSES",
+)
+
+
+def _already_initialized() -> bool:
+    """True iff jax.distributed.initialize() already succeeded in this
+    process.  Checks jax.distributed's own client state: checking
+    ``jax.process_count() > 1`` instead is a bug -- it initializes the
+    XLA backends as a side effect, after which initialize() can never
+    succeed, and it reads 1 on an uninitialized multi-host run."""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:  # noqa: BLE001 - private API moved; fall through
+        return False
+
+
 def init_distributed(**kw) -> None:
     """Initialize multi-host JAX.
 
     A genuine coordinator failure must NOT degrade silently into a wrong
     single-process run: when the caller *intends* multi-process (explicit
-    kwargs or cluster env vars present), init errors propagate.  Only the
-    plain single-process convenience call (no kwargs, no cluster env) and
-    double-initialization are no-ops.
+    kwargs or cluster env vars present, incl. SLURM/Open MPI auto-detect
+    environments), init errors propagate.  Only the plain single-process
+    convenience call (no kwargs, no cluster env) and double-
+    initialization are no-ops.
     """
     import os
 
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    intended = bool(kw) or any(os.environ.get(v) for v in (
-        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-        "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES"))
+    if _already_initialized():
+        return
+    intended = bool(kw) or any(os.environ.get(v) for v in _INTENT_ENV)
     try:
         jax.distributed.initialize(**kw)
     except Exception as e:  # noqa: BLE001 - classified below
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        if "already initialized" in msg:
             return
-        if intended:
+        if not intended:
+            return  # no multi-process intent anywhere: single process
+        if "before any jax" in msg or "backend" in msg and \
+                "initialize" in msg:
             raise RuntimeError(
-                "multi-host initialization failed (coordinator "
-                "unreachable or misconfigured); refusing to continue "
-                "as a single process") from e
-        # no multi-process intent anywhere: single-process run
+                "init_distributed() must be the first JAX call in the "
+                "process: the XLA backends are already initialized, so "
+                "multi-host setup can no longer happen.  Move "
+                "init_distributed() (or jax.distributed.initialize()) "
+                "above any other jax use") from e
+        raise RuntimeError(
+            "multi-host initialization failed (coordinator "
+            "unreachable or misconfigured); refusing to continue "
+            "as a single process") from e
 
 
 def is_coordinator() -> bool:

@@ -250,6 +250,14 @@ class BlockEncoder:
 
         interpret = jax.default_backend() != "tpu"
 
+        # one-shot per-process kernel certification (ops/selfcheck):
+        # a Mosaic regression must degrade to the XLA path, not corrupt
+        # written bytes for users who never ran bench's validation
+        from ..ops import selfcheck
+
+        if not selfcheck.kernel_ok("encode", interpret=interpret):
+            return None
+
         def kernel_call(x, low, db, deb, dm0, dm1, pix, per):
             if use_group or use_big:
                 from ..ops.pallas_codec import group_tiles
@@ -389,6 +397,23 @@ class BlockEncoder:
 
     # -- decode ------------------------------------------------------------
 
+    def _shard_rows(self, *arrays):
+        """Pad the leading (block) axis of a decode bucket to the mesh
+        size and shard it; returns (padded+sharded arrays, valid rows).
+        Off-mesh this is the identity (decode buckets are elementwise
+        per block, so XLA auto-SPMD handles the sharded batch with no
+        program changes -- the read mirror of the encode sharding,
+        ref go/reader.go:114-127)."""
+        b = arrays[0].shape[0]
+        if self.mesh is None:
+            return arrays, b
+        bp = self._pad(b)
+        if bp != b:
+            arrays = tuple(
+                np.pad(a, [(0, bp - b)] + [(0, 0)] * (a.ndim - 1))
+                for a in arrays)
+        return self._shard(*arrays), b
+
     def decode_int_blocks(self, payloads, mins, bits, n: int) -> np.ndarray:
         """Decode per-block payloads back to (B, n) int64."""
         b = len(payloads)
@@ -406,8 +431,9 @@ class BlockEncoder:
             for row, block_id in enumerate(idx):
                 words[row] = bitpack.bytes_to_words(
                     payloads[block_id], width, n)
+            (words_d, mins_d), nb = self._shard_rows(words, mins[idx])
             dec = np.asarray(codec.decode_int_blocks(
-                words, mins[idx], width, n))
+                words_d, mins_d, width, n))[:nb]
             out[idx] = dec
         return out
 
@@ -437,9 +463,14 @@ class BlockEncoder:
                 for row, block_id in enumerate(idx):
                     words[row] = bitpack.bytes_to_words(
                         payloads[block_id], width, n)
+            sharded, nb = self._shard_rows(
+                words, mins[idx], low[idx].copy(), high[idx].copy(),
+                pixels[idx].copy(), periodic[idx].copy(),
+                block_ids[idx])
+            (words_d, mins_d, low_d, high_d, pix_d, per_d, bid_d) = \
+                sharded
             dec = np.asarray(codec.decode_float_blocks(
-                words, mins[idx], low[idx], high[idx], pixels[idx],
-                periodic[idx], block_ids[idx], width, n, dither=dither,
-                seed=seed))
+                words_d, mins_d, low_d, high_d, pix_d, per_d, bid_d,
+                width, n, dither=dither, seed=seed))[:nb]
             out[idx] = dec
         return out

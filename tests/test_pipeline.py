@@ -317,3 +317,99 @@ def test_int_encode_fused_delta_pack_edges(mesh8):
             mn = 0
         assert enc.payloads[i] == payload, i
         assert (enc.mins[i], enc.bits[i]) == (mn, bits), i
+
+
+def test_sharded_decode_bit_identical_to_host_reader(tmp_path, mesh8):
+    """Mesh-sharded bulk decode of a host-written minh file equals the
+    host reader bit-for-bit (the read mirror of the encode sharding,
+    ref go/reader.go:114-127)."""
+    from minnow_tpu.formats import minh as minh_mod
+
+    rng = np.random.default_rng(31)
+    m, nblk = 64, 5  # 5 blocks: pads to 8 on the mesh
+    cols = [minh_mod.Column(type=minh_mod.Int),
+            minh_mod.Column(type=minh_mod.Float, low=0.0, high=250.0,
+                            dx=0.001)]
+    blocks = [(rng.integers(0, 1 << 45, m).astype(np.int64),
+               rng.uniform(0, 249.9, m).astype(np.float32))
+              for _ in range(nblk)]
+    fname = str(tmp_path / "dec.minh")
+    w = minh_mod.create(fname)
+    w.header(["id", "x"], "", cols)
+    w.geometry(250.0, 0, 0)
+    for ids, xs in blocks:
+        w.block([ids, xs])
+    w.close()
+
+    be = BlockEncoder(mesh8)
+    r = minh_mod.open(fname, dither="none")
+    host = {**r.ints(["id"]), **r.floats(["x"])}
+    for c, name in ((0, "id"), (1, "x")):
+        raw = [r.f.raw_block(r._block_idx(c, b))
+               for b in range(r.blocks)]
+        payloads = [blk[0] for blk in raw]
+        mins = np.asarray([blk[1] for blk in raw], np.int64)
+        bits = np.asarray([blk[2] for blk in raw], np.int64)
+        if name == "id":
+            dec = be.decode_int_blocks(payloads, mins, bits, m)
+            np.testing.assert_array_equal(dec.reshape(-1), host[name])
+        else:
+            low, high, pixels, per = raw[0][4]
+            dec = be.decode_float_blocks(
+                payloads, mins, bits, low, high, pixels, m,
+                periodic=per, dither="none")
+            np.testing.assert_array_equal(
+                dec.reshape(-1).view(np.uint32),
+                host[name].view(np.uint32))
+    r.close()
+
+
+def test_minp_mesh_writer_byte_identical(tmp_path, mesh8):
+    """minp vectors written through the mesh-sharded encoder == host
+    writer bytes (ref go/minp/minp.go:86-119)."""
+    from minnow_tpu.formats import minp
+
+    rng = np.random.default_rng(33)
+    hd = minp.Header(l=100.0, n_side=8, n_total=512)
+    vec = rng.uniform(0, 99.9, (512, 3)).astype(np.float32)
+    host_f = str(tmp_path / "h.minp")
+    mesh_f = str(tmp_path / "m.minp")
+    for fname, enc in ((host_f, None), (mesh_f, BlockEncoder(mesh8))):
+        w = minp.Writer(fname, encoder=enc)
+        w.header(hd, b"hdr", minp.Cell(0, 1, 2), 0.01, True)
+        w.vectors(vec)
+        w.close()
+    assert open(host_f, "rb").read() == open(mesh_f, "rb").read()
+
+
+def test_boundary_mesh_writer_byte_identical(tmp_path, mesh8):
+    """Boundary write through the mesh-sharded encoder == host per-cell
+    loop bytes (ref go/minh/boundary.go:184-225)."""
+    from minnow_tpu.formats import boundary, minh
+    from minnow_tpu.formats.boundary_device import DeviceBoundaryWriter
+
+    rng = np.random.default_rng(35)
+    l, cells, bnd = 100.0, 2, 5.0
+    n = 200
+    x = (rng.uniform(0, 1, n) * l).astype(np.float32)
+    y = (rng.uniform(0, 1, n) * l).astype(np.float32)
+    z = (rng.uniform(0, 1, n) * l).astype(np.float32)
+    ids = rng.integers(0, 10 ** 12, n).astype(np.int64)
+
+    def write(fname, enc):
+        w = boundary.create_boundary(fname)
+        if enc is not None:
+            w = DeviceBoundaryWriter(w, encoder=enc)
+        w.header("t")
+        w.geometry(l, bnd, cells)
+        w.coordinates(x, y, z)
+        w.column("id", minh.Column(type=minh.Int), ids)
+        w.column("x", minh.Column(type=minh.Float, low=0, high=l,
+                                  dx=0.001), x)
+        w.close()
+
+    host_f = str(tmp_path / "h.minh")
+    mesh_f = str(tmp_path / "m.minh")
+    write(host_f, None)
+    write(mesh_f, BlockEncoder(mesh8))
+    assert open(host_f, "rb").read() == open(mesh_f, "rb").read()

@@ -145,3 +145,62 @@ def test_init_distributed_propagates_intended_failures(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", already)
     distributed.init_distributed(coordinator_address="x", num_processes=2,
                                  process_id=0)
+
+
+def test_init_distributed_backend_already_init_classified(monkeypatch):
+    """The 'backends already initialized' RuntimeError from
+    jax.distributed.initialize must be reported as a call-ordering bug,
+    not a coordinator failure (ADVICE r2)."""
+    import pytest
+
+    from minnow_tpu.parallel import distributed
+
+    import jax
+
+    def too_late(**kw):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before any JAX "
+            "calls that might initialize the XLA backend")
+
+    monkeypatch.setattr(jax.distributed, "initialize", too_late)
+    with pytest.raises(RuntimeError, match="first JAX call"):
+        distributed.init_distributed(
+            coordinator_address="localhost:1", num_processes=2,
+            process_id=0)
+
+
+def test_init_distributed_cluster_env_intent(monkeypatch):
+    """SLURM / Open MPI auto-detect environments count as multi-process
+    intent: an init failure there must propagate, never silently
+    degrade to single-process (ADVICE r2)."""
+    import pytest
+
+    from minnow_tpu.parallel import distributed
+
+    import jax
+
+    def boom(**kw):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    for var in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.setenv(var, "12345")
+        with pytest.raises(RuntimeError, match="refusing to continue"):
+            distributed.init_distributed()
+        monkeypatch.delenv(var)
+
+
+def test_already_initialized_does_not_touch_backends(monkeypatch):
+    """_already_initialized must not initialize XLA backends as a side
+    effect; it reads jax.distributed's own client state."""
+    from minnow_tpu.parallel import distributed
+
+    assert distributed._already_initialized() is False
+
+    class FakeClient:
+        pass
+
+    from jax._src import distributed as _dist
+
+    monkeypatch.setattr(_dist.global_state, "client", FakeClient())
+    assert distributed._already_initialized() is True
