@@ -676,6 +676,22 @@ def bench_text_to_minh(rows=250_000):
         text_to_minh.convert_file(cfg, idx, types, wanted, hlist,
                                   pipe_path, block_size=2 << 20)
         dt_pipe = time.perf_counter() - t0
+
+        # multi-file fan-out (--jobs): 4 copies of the catalog converted
+        # concurrently -- the aggregate rate of the reference's outer
+        # loop (ref scripts/text_to_minh.go:54-67) parallelized
+        multi_dir = os.path.join(td, "multi")
+        os.makedirs(multi_dir)
+        files = [hlist]
+        for i in range(3):
+            dup = os.path.join(td, "hlist_0.%d.list" % i)
+            os.link(hlist, dup)
+            files.append(dup)
+        t0 = time.perf_counter()
+        text_to_minh.convert_files(cfg, idx, types, wanted, files,
+                                   multi_dir, jobs=4,
+                                   log=lambda *_: None)
+        dt_multi = time.perf_counter() - t0
         stages = {
             "text_to_minh_stage_" + k: (v.get("GBps", 0) or 0) * 1e3
             if "GBps" in v else round(v["seconds"] * 1e3, 1)
@@ -683,6 +699,8 @@ def bench_text_to_minh(rows=250_000):
         # stages with bytes report MB/s; others report milliseconds
         return {"text_to_minh_MBps": round(in_mb / dt, 2),
                 "text_to_minh_pipelined_MBps": round(in_mb / dt_pipe, 2),
+                "text_to_minh_multifile_MBps": round(
+                    4 * in_mb / dt_multi, 2),
                 "text_to_minh_ratio": round(in_mb / out_mb, 2),
                 "text_to_minh_stages_MBps_or_ms": {
                     k.replace("text_to_minh_stage_", ""): round(v, 1)

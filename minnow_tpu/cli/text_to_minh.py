@@ -3,7 +3,7 @@ minh (ref scripts/text_to_minh.go -- the flagship encode pipeline).
 
 Usage:
   python -m minnow_tpu.cli.text_to_minh <config> <vars|all> <glob> <outdir>
-        [--device] [--block-size=BYTES]
+        [--device] [--block-size=BYTES] [--jobs=N]
 
 Config file (ref text_to_minh.go:80-109):
 
@@ -26,6 +26,13 @@ Type-index lines map canonical column names to storage types
 With ``--device`` the float/int columns are encoded through the sharded
 TPU pipeline (parallel/pipeline.py) instead of the host codec; the output
 bytes are identical.
+
+``--jobs=N`` converts N catalog files concurrently (the per-file
+fan-out of the reference's sequential outer loop,
+ref scripts/text_to_minh.go:54-67): each file's output is independent,
+so file-level parallelism composes with the per-file parse/encode
+pipeline.  Per-file parse threads shrink to keep total threads near the
+core count (oversubscription measured slower, see THREADS).
 """
 
 from __future__ import annotations
@@ -312,15 +319,48 @@ class _DeviceMinhWriter:
         self.wr.close()
 
 
+def convert_files(cfg, idx, types, wanted, files, out_dir,
+                  device=False, block_size=None, jobs=1,
+                  log=print) -> None:
+    """Convert a list of catalog files, ``jobs`` of them concurrently
+    (the reference's outer loop, ref scripts/text_to_minh.go:54-67,
+    fanned out with utils/sched).  Each output file is independent so
+    results are byte-identical to the sequential loop.  Biggest files
+    start first so the queue tail stays balanced; per-file parse
+    threads shrink so jobs x threads stays near the core count."""
+    from ..utils import sched
+
+    jobs = max(1, min(jobs, len(files) or 1))
+    per_threads = max(1, THREADS // jobs) if jobs > 1 else THREADS
+    order = sorted(range(len(files)),
+                   key=lambda i: -os.path.getsize(files[i]))
+
+    def work(w, j):
+        hlist = files[order[j]]
+        log("Converting %s" % hlist)
+        t0 = time.time()
+        convert_file(cfg, idx, types, wanted, hlist,
+                     out_name(out_dir, hlist), device=device,
+                     threads=per_threads, block_size=block_size)
+        log("    %s: %.2f minutes" % (os.path.basename(hlist),
+                                      (time.time() - t0) / 60))
+
+    sched.worker_queue(jobs, len(files), work)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     device = "--device" in argv
     if device:
         argv.remove("--device")
     block_size = None
+    jobs = 1
     for a in list(argv):
         if a.startswith("--block-size="):
             block_size = int(a.split("=", 1)[1])
+            argv.remove(a)
+        elif a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
             argv.remove(a)
     if len(argv) != 4:
         raise SystemExit(__doc__)
@@ -331,13 +371,9 @@ def main(argv=None):
     types = parse_types(cfg["TypeIndex"], idx)
     wanted = parse_vars(vars_fname, idx)
 
-    for hlist in globmod.glob(in_pattern):
-        print("Converting %s" % hlist)
-        t0 = time.time()
-        convert_file(cfg, idx, types, wanted, hlist,
-                     out_name(out_dir, hlist), device=device,
-                     block_size=block_size)
-        print("    %.2f minutes" % ((time.time() - t0) / 60))
+    convert_files(cfg, idx, types, wanted,
+                  sorted(globmod.glob(in_pattern)), out_dir,
+                  device=device, block_size=block_size, jobs=jobs)
 
 
 if __name__ == "__main__":

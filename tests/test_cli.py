@@ -222,3 +222,36 @@ def test_text_to_minh_block_size_pipelining(catalog_env):
         np.testing.assert_array_equal(a, b)
     r1.close()
     r2.close()
+
+
+def test_text_to_minh_jobs_matches_sequential(catalog_env):
+    """--jobs=N (per-file fan-out of the reference's sequential outer
+    loop, ref scripts/text_to_minh.go:54-67) produces byte-identical
+    outputs for every file."""
+    env = catalog_env
+    rng = np.random.default_rng(5)
+    # two more catalogs of different sizes alongside the fixture's one
+    for tag, n in (("0.90000", 150), ("0.80000", 700)):
+        lines = ["#ID X Y Z Mvir Weird"]
+        for i in range(n):
+            lines.append("%d %.5f %.5f %.5f %.6e 1.0" % (
+                i, rng.uniform(0, 99.9), rng.uniform(0, 99.9),
+                rng.uniform(0, 99.9), 10 ** rng.uniform(9, 14)))
+        (env["tmp_path"] / ("hlist_%s.list" % tag)).write_text(
+            "\n".join(lines) + "\n")
+
+    pattern = str(env["tmp_path"] / "hlist_*.list")
+    seq_dir = env["tmp_path"] / "seq"
+    par_dir = env["tmp_path"] / "par"
+    seq_dir.mkdir()
+    par_dir.mkdir()
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       pattern, str(seq_dir)])
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       pattern, str(par_dir), "--jobs=3"])
+    seq_files = sorted(p.name for p in seq_dir.iterdir())
+    assert len(seq_files) == 3
+    assert seq_files == sorted(p.name for p in par_dir.iterdir())
+    for name in seq_files:
+        assert (seq_dir / name).read_bytes() == \
+            (par_dir / name).read_bytes(), name
