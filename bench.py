@@ -571,6 +571,25 @@ def bench_extra_configs():
         slope(enc_ids, id_args, 64, 1024,
               sync=lambda o: o[1]), 3)
 
+    # config: the same two-pass int encode with the planar Pallas pack
+    # kernel as the second dispatch (the production TPU path,
+    # ops/pallas_encode.pack_int_pallas_group; 33-64-bit limb pack)
+    if jax.default_backend() == "tpu" and _pallas_enc_on():
+        from minnow_tpu.ops import pallas_encode
+
+        n_id = 1 << 18
+        if pallas_encode.supported_pack_int(41, n_id):
+            @jax.jit
+            def enc_ids_pallas(x, lens):
+                mins, maxd = codec.int_block_stats(x, lens)
+                mins = jax.lax.optimization_barrier(mins)
+                return pallas_encode.delta_pack_int_pallas(
+                    x, mins, lens, 41, n_id, n_id), mins
+
+            out["int64_id_encode_pallas_GBps"] = round(
+                slope(enc_ids_pallas, id_args, 64, 1024,
+                      sync=lambda o: o[1]), 3)
+
     # config: uniform-dither bulk decode (the DEFAULT read mode) --
     # kernel unpack + XLA threefry/dequant tail vs the all-XLA path
     if jax.default_backend() == "tpu" and _pallas_dec_on():

@@ -256,6 +256,49 @@ def _pack_tile(deltas_t, bits: int):
     return _pack_tile_planar(deltas_t, bits).T
 
 
+def _pack_tile_planar64(lo_t, hi_t, bits: int):
+    """(32, t) u32 delta limb planes -> (bits, t) word-planar stream
+    words for widths 33-64 (the intGroup ID-column widths,
+    ref go/group.go:242-255 + go/bit/bit.go:100-131).
+
+    Limb H (value bits [32, bits)) sits at bit offset i*bits + 32 --
+    the SAME lane shift as limb L exactly one word later -- so the
+    Mosaic-safe planar formulation of :func:`_pack_tile_planar` extends
+    with two more (part, word-index) pairs instead of any 64-bit
+    arithmetic."""
+    t_len = lo_t.shape[1]
+    hmask = np.uint32((1 << (bits - 32)) - 1) if bits < 64 \
+        else np.uint32(0xFFFFFFFF)
+    j = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    s = ((j * bits) & 31).astype(jnp.uint32)
+    s2 = ((np.int32(32) - ((j * bits) & 31)) & 31).astype(jnp.uint32)
+    w = (np.arange(32, dtype=np.int64) * bits) // 32
+
+    hi = hi_t & hmask
+    lo_lo = lo_t << s
+    lo_sp = jnp.where(s > jnp.uint32(0), lo_t >> s2, jnp.uint32(0))
+    hi_lo = hi << s
+    hi_sp = jnp.where(s > jnp.uint32(0), hi >> s2, jnp.uint32(0))
+
+    bc = jax.lax.bitcast_convert_type
+    parts = ((bc(lo_lo, jnp.int32), w), (bc(lo_sp, jnp.int32), w + 1),
+             (bc(hi_lo, jnp.int32), w + 1), (bc(hi_sp, jnp.int32),
+                                             w + 2))
+    rows = []
+    for word in range(bits):
+        acc = None
+        for part, idx in parts:
+            j0 = int(np.searchsorted(idx, word, side="left"))
+            j1 = int(np.searchsorted(idx, word, side="right"))
+            if j1 > j0:
+                seg = part[j0:j1].sum(axis=0, dtype=jnp.int32,
+                                      keepdims=True)
+                acc = seg if acc is None else acc + seg
+        rows.append(acc if acc is not None
+                    else jnp.zeros((1, t_len), jnp.int32))
+    return bc(jnp.concatenate(rows, axis=0), jnp.uint32)  # (bits, t)
+
+
 def _encode_kernel(bits: int, chunk: int, x_ref, low_ref, b_ref,
                    eb_ref, m0_ref, m1_ref, pix_ref, per_ref, w_ref,
                    mn_ref, maxd_ref, valid_ref, q_scr):
@@ -690,6 +733,154 @@ def encode_float_pallas_bigblock(x2d, low, b, eb, m0, m1, pixels,
         interpret=interpret)
     return (words, mn.astype(jnp.int64), maxd.astype(jnp.int64),
             valid)
+
+
+# ---------------------------------------------------------------------------
+# int-group pack kernel: the intGroup encode's second dispatch
+# (ref go/group.go:242-255) -- ID columns and other int64 data
+# ---------------------------------------------------------------------------
+
+
+def supported_pack_int(bits: int, n: int) -> bool:
+    """Shapes the stateless int pack kernel handles: group alignment
+    only -- no block length cap (chunk-streamed) and no pixel bound
+    (deltas arrive as u32 limb planes)."""
+    from .pallas_codec import group_tiles
+
+    if not 0 < bits <= 64:
+        return False
+    g = group_tiles(bits)
+    return n % (32 * g * 8) == 0
+
+
+def _pack_int_kernel(bits: int, G: int, dlo_ref, dhi_ref, w_ref,
+                     lt_scr, ht_scr, wt_scr):
+    """Pure planar pack of pre-computed delta limb planes: the deltas
+    (x - min, masked past each block's length) come from one fused XLA
+    pass, so the kernel carries no cross-chunk state and no per-block
+    scalars -- the grid is flat over row chunks."""
+    from .pallas_codec import _tile_step
+
+    zero = jnp.int32(0)
+    bc = jax.lax.bitcast_convert_type
+    lt_scr[...] = bc(bc(dlo_ref[...], jnp.uint32).T, jnp.int32)
+    if dhi_ref is not None:
+        ht_scr[...] = bc(bc(dhi_ref[...], jnp.uint32).T, jnp.int32)
+    ts = _tile_step(bits)
+
+    def step_body(j, carry):
+        lo = bc(lt_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :],
+                jnp.uint32)
+        if dhi_ref is not None:
+            hi = bc(ht_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :],
+                    jnp.uint32)
+            planar = jnp.concatenate(
+                [_pack_tile_planar64(lo[u * 32:(u + 1) * 32],
+                                     hi[u * 32:(u + 1) * 32], bits)
+                 for u in range(ts)], axis=0)
+        else:
+            planar = jnp.concatenate(
+                [_pack_tile_planar(lo[u * 32:(u + 1) * 32], bits)
+                 for u in range(ts)], axis=0)
+        wt_scr[pl.ds(j * np.int32(ts * bits), ts * bits), :] = \
+            bc(planar, jnp.int32)
+        return carry
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
+                      zero)
+    w_ref[...] = bc(wt_scr[...].T, jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "rows"))
+def pack_int_pallas_group(dlo2d, dhi2d, bits: int, n: int,
+                          interpret: bool = False, rows: int = 0):
+    """(B*t/G, G*32) u32 delta limb planes -> (B*t/G, G*bits) packed
+    words at static width ``bits`` (1..64).  For ``bits <= 32`` pass
+    ``dhi2d=None`` (the low limbs of the wrapping 64-bit subtraction
+    ARE the delta -- only 4 B/elem cross HBM).  Rows are the aligned
+    2-D view of the (B, t*bits) stream; the byte stream equals
+    spec.pack_bits exactly (tests/test_pallas_codec.py)."""
+    from .pallas_codec import _pick_r_group, group_tiles
+
+    g = group_tiles(bits)
+    ge = g * 32
+    gw = g * bits
+    if dlo2d.shape[1] != ge:
+        raise ValueError("dlo2d must be (B*t/G, G*32), got %s"
+                         % (dlo2d.shape,))
+    rows_total = dlo2d.shape[0]
+    t_g = (n // 32) // g
+    cs = _pick_r_group(t_g, rows)
+    steps = rows_total // cs
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    row_spec = pl.BlockSpec((cs, ge), lambda i: (i, np.int32(0)))
+    if bits > 32:
+        if dhi2d is None:
+            raise ValueError("bits > 32 needs the high limb plane")
+        kern = functools.partial(_pack_int_kernel, bits, g)
+        in_specs = [row_spec, row_spec]
+        args = (dlo2d, dhi2d)
+        scratch = [pltpu.VMEM((ge, cs), jnp.int32),
+                   pltpu.VMEM((ge, cs), jnp.int32),
+                   pltpu.VMEM((gw, cs), jnp.int32)]
+    else:
+        def kern(dlo_ref, w_ref, lt_scr, wt_scr):
+            _pack_int_kernel(bits, g, dlo_ref, None, w_ref, lt_scr,
+                             None, wt_scr)
+        in_specs = [row_spec]
+        args = (dlo2d,)
+        scratch = [pltpu.VMEM((ge, cs), jnp.int32),
+                   pltpu.VMEM((gw, cs), jnp.int32)]
+    return pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((cs, gw), lambda i: (i, np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((rows_total, gw), jnp.uint32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "n_pad",
+                                             "interpret"))
+def delta_pack_int_pallas(x, mins, lens, bits: int, n: int, n_pad: int,
+                          interpret: bool = False):
+    """Fused int-block delta+pack through the group kernel: one XLA
+    elementwise pass turns (B, n) int64 + per-block mins into masked
+    u32 delta limb planes (padded to the kernel alignment ``n_pad``),
+    then the stateless planar pack emits the words.  Bit-identical to
+    bitpack.delta_pack_batch; the intGroup encode hot loop
+    (ref go/group.go:242-255 + go/bit/bit.go:106-131)."""
+    from .pallas_codec import group_tiles
+
+    bsz = x.shape[0]
+    g = group_tiles(bits)
+    mask = jax.lax.broadcasted_iota(
+        jnp.int64, (1, x.shape[1]), 1) < lens[:, None]
+    d = jnp.where(mask, x - mins[:, None], 0)
+    if n_pad != x.shape[1]:
+        d = jnp.pad(d, ((0, 0), (0, n_pad - x.shape[1])))
+    t_g = (n_pad // 32) // g
+    if bits <= 32:
+        # the wrapping low-limb difference IS the delta for widths <= 32
+        dlo = d.astype(jnp.uint32).reshape(bsz * t_g, g * 32)
+        words = pack_int_pallas_group(dlo, None, bits, n_pad,
+                                      interpret=interpret)
+    else:
+        from . import bitpack
+
+        dlo, dhi = bitpack.split_u64(d.astype(jnp.uint64))
+        words = pack_int_pallas_group(
+            dlo.reshape(bsz * t_g, g * 32),
+            dhi.reshape(bsz * t_g, g * 32), bits, n_pad,
+            interpret=interpret)
+    return words.reshape(bsz, t_g * g * bits)
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",

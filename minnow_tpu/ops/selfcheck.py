@@ -73,6 +73,25 @@ def _check_encode(interpret: bool) -> None:
             bitpack.words_to_bytes(words[i], bits, n) == payload, \
             "kernel payload bytes diverge from spec"
 
+    # int-pack representative (ID-column width 41; the 33-64-bit limb
+    # planar pack is a separate kernel path)
+    ibits = 41
+    gi = pallas_codec.group_tiles(ibits)
+    ni = 32 * gi * 8
+    xi = rng.integers(0, 1 << 40, (2, ni), dtype=np.int64)
+    xi[:, 0] = 0
+    xi[:, 1] = (1 << 41) - 1  # pin the true width to 41
+    mins_i = xi.min(axis=1)
+    lens_i = np.full(2, ni, np.int64)
+    words_i = np.asarray(pallas_encode.delta_pack_int_pallas(
+        xi, mins_i, lens_i, ibits, ni, ni, interpret=interpret))
+    for i in range(2):
+        payload, mn, bts = spec.encode_int_block(xi[i])
+        assert int(mins_i[i]) == mn
+        if bts == ibits:
+            assert bitpack.words_to_bytes(words_i[i], ibits, ni) == \
+                payload, "int pack kernel bytes diverge from spec"
+
 
 def _check_decode(interpret: bool) -> None:
     """Fused group decode + wide int decode at the flagship width ==

@@ -159,13 +159,50 @@ class BlockEncoder:
     def _bucket_pack_ints(self, x, mins, bits, lens) -> list:
         """Width-bucketed fused delta+pack for int blocks: the second
         dispatch of the two-pass int encode reads ``x`` + per-block
-        mins and emits words directly (no materialized deltas)."""
+        mins and emits words directly (no materialized deltas).  On TPU
+        the planar pack runs in the group-aligned Pallas kernel
+        (ops/pallas_encode.pack_int_pallas_group) -- the XLA pack's
+        64-bit shift/OR emulation is the ID-column bottleneck
+        (ref go/group.go:242-255)."""
         mins64 = np.asarray(mins, np.int64)
         lens64 = np.asarray(lens, np.int64)
-        return self._bucket_loop(
-            x, bits, lens,
-            lambda rows, idx, width: bitpack.delta_pack_batch(
-                rows, mins64[idx], lens64[idx], width))
+
+        def pack_rows(rows, idx, width):
+            pal = self._pallas_pack_ints(rows, mins64[idx],
+                                         lens64[idx], width)
+            if pal is not None:
+                return pal
+            return bitpack.delta_pack_batch(rows, mins64[idx],
+                                            lens64[idx], width)
+        return self._bucket_loop(x, bits, lens, pack_rows)
+
+    def _pallas_pack_ints(self, rows, mins, lens, width):
+        """Group-aligned Pallas delta+pack for one int width bucket, or
+        None when the shape/backend/mesh doesn't qualify (caller packs
+        via XLA; bytes identical either way).  Mesh batches stay on the
+        XLA path (auto-SPMD shards it; the kernel would need its own
+        shard_map plumbing for a path the bench measures unsharded)."""
+        if self.mesh is not None or not self._pallas_mode():
+            return None
+        from ..ops import pallas_encode, selfcheck
+
+        n = int(rows.shape[1])
+        from ..ops.pallas_codec import group_tiles
+
+        align = 32 * group_tiles(width) * 8
+        n_pad = -(-n // align) * align
+        # same padding-waste bound as the decode fast path: reject
+        # blocks below the alignment or just past a boundary
+        if n_pad * 4 > n * 5 or not pallas_encode.supported_pack_int(
+                width, n_pad):
+            return None
+        import jax
+
+        interpret = jax.default_backend() != "tpu"
+        if not selfcheck.kernel_ok("encode", interpret=interpret):
+            return None
+        return pallas_encode.delta_pack_int_pallas(
+            rows, mins, lens, width, n, n_pad, interpret=interpret)
 
     # -- encode ------------------------------------------------------------
 

@@ -247,3 +247,76 @@ def test_encode_float_pallas_group_byte_exact():
         else:
             narrow += 1
     assert narrow == 1
+
+
+def test_pack_int_pallas_group_width_sweep():
+    """The stateless int pack kernel (interpret mode) == spec.pack_bits
+    across the width classes incl. the 33-64-bit limb planar path
+    (ref go/bit/bit.go:106-131), with masked tails and negative mins."""
+    from minnow_tpu.ops import pallas_encode
+    from minnow_tpu.ops.pallas_codec import group_tiles
+
+    rng = np.random.default_rng(41)
+    for bits in (1, 7, 18, 32, 33, 41, 47, 64):
+        g = group_tiles(bits)
+        n = 32 * g * 8
+        hi_excl = (1 << bits) - 1 if bits == 64 else (1 << bits)
+        vals = rng.integers(0, hi_excl, (2, n), dtype=np.uint64)
+        mins = rng.integers(-1000, 1000, 2).astype(np.int64)
+        x = vals.view(np.int64) + mins[:, None]
+        lens = np.array([n, n - 37], np.int64)
+        words = np.asarray(pallas_encode.delta_pack_int_pallas(
+            x, mins, lens, bits, n, n, interpret=True))
+        for i in range(2):
+            d = np.zeros(n, np.uint64)
+            d[:lens[i]] = (x[i, :lens[i]] - mins[i]).view(np.uint64)
+            ref = spec.pack_bits(d, bits)
+            got = bitpack.words_to_bytes(words[i], bits, n)
+            assert got == ref, (bits, i)
+
+
+def test_pack_int_pallas_group_padded_n():
+    """Unaligned block lengths pad to the kernel alignment; the sliced
+    byte stream still equals spec exactly (padded deltas are zero)."""
+    from minnow_tpu.ops import pallas_encode
+    from minnow_tpu.ops.pallas_codec import group_tiles
+
+    rng = np.random.default_rng(43)
+    bits = 41
+    g = group_tiles(bits)
+    align = 32 * g * 8
+    n = align - 123
+    n_pad = align
+    x = rng.integers(0, 1 << 41, (3, n), dtype=np.uint64).view(np.int64)
+    mins = x.min(axis=1)
+    lens = np.full(3, n, np.int64)
+    words = np.asarray(pallas_encode.delta_pack_int_pallas(
+        x, mins, lens, bits, n, n_pad, interpret=True))
+    for i in range(3):
+        ref = spec.pack_bits((x[i] - mins[i]).view(np.uint64), bits)
+        got = bitpack.words_to_bytes(words[i], bits, n)
+        assert got == ref, i
+
+
+def test_int_encode_production_pallas_path(monkeypatch):
+    """BlockEncoder(pallas=True) routes aligned int buckets through the
+    group pack kernel (interpret mode on CPU) and still produces
+    spec-exact bytes; a too-small block in the same batch takes the XLA
+    path (mixed widths -> mixed paths, same bytes)."""
+    from minnow_tpu.ops import selfcheck
+    from minnow_tpu.ops.pallas_codec import group_tiles
+    from minnow_tpu.parallel.pipeline import BlockEncoder
+
+    monkeypatch.setenv("MINNOW_TPU_PALLAS_SELFCHECK", "0")
+    rng = np.random.default_rng(45)
+    n = 32 * group_tiles(41) * 8
+    x = rng.integers(0, 1 << 40, (4, n), dtype=np.int64)
+    x[0, 0], x[0, 1] = 0, (1 << 41) - 1     # width 41 (kernel path)
+    x[1] = rng.integers(0, 1 << 20, n)      # width <= 32 (lo-only path)
+    x[2] = 7                                # constant -> bits 0
+    lens = np.array([n, n, n, n // 2 + 3], np.int64)
+    enc = BlockEncoder(pallas=True).encode_int_blocks(x, lens=lens)
+    for i in range(4):
+        payload, mn, bits_i = spec.encode_int_block(x[i, :lens[i]])
+        assert enc.payloads[i] == payload, i
+        assert (int(enc.mins[i]), int(enc.bits[i])) == (mn, bits_i), i
