@@ -619,6 +619,24 @@ def bench_extra_configs():
             slope(dec_u, dec_u_args, 256, 4096,
                   sync=lambda o: o[:1, 0]), 3)
 
+        # fully fused uniform decode: counter-hash dither in-kernel
+        # (the production DEFAULT read mode path)
+        def dec_u_fused_args(b):
+            (args, by) = dec_u_args(b)
+            w2d, mins, lo, hi, pix, per, ids = args
+            k1, k2 = (np.asarray(k)
+                      for k in codec.dither_keys(ids, 0))
+            return ((w2d, mins, lo, hi, pix, per, k1, k2), by)
+
+        def dec_u_fused(w2d, mins, lo, hi, pix, per, k1, k2):
+            return pallas_codec.decode_float_pallas_group(
+                w2d, mins, lo, hi, pix, per, bits, n,
+                dither="uniform", key1=k1, key2=k2)
+
+        out["decode_uniform_fused_GBps"] = round(
+            slope(dec_u_fused, dec_u_fused_args, 256, 4096,
+                  sync=lambda o: o[:1, 0]), 3)
+
         def dec_u_xla_args(b):
             w = rng.integers(
                 0, 1 << 32, (b, bitpack.words_per_block(bits, n)),

@@ -8,7 +8,11 @@ counter-based and keyed on ``(seed, block_id)``:
 
 * host reads use numpy's Philox generator (pure numpy -- opening a file
   never initializes an accelerator runtime),
-* device-side batched decode uses threefry on-chip (ops/codec.py),
+* device-side batched decode uses the keyed counter hash
+  ``ops/codec.dither_hash_u`` (per-block keys from full jax-threefry
+  ``fold_in``; per-element mixing via the lowbias32 avalanche hash) --
+  cheap enough to run fused inside the Pallas decode kernel, identical
+  between the XLA and kernel paths,
 * ``none`` (u=0) and ``midpoint`` (u=0.5) modes are bit-identical across
   host and device and are used for strict cross-checking.
 

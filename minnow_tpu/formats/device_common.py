@@ -84,11 +84,17 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
         return None
     words2d, n_pad = geo
     if dither == "uniform":
-        dec = np.asarray(codec.decode_float_blocks32_group(
-            words2d, mins, lows, highs, pixels, periodic,
-            np.asarray(block_ids, np.int64), int(bits), int(n),
-            int(n_pad), seed=int(seed), interpret=INTERPRET))
-        return dec
+        # fully fused: the counter-hash dither (codec.dither_hash_u)
+        # runs inside the kernel; only the per-block keys (full
+        # threefry fold_in) come from XLA.  Bit-identical to the XLA
+        # decode_float_blocks32(dither="uniform") path.
+        k1, k2 = (np.asarray(k) for k in codec.dither_keys(
+            np.asarray(block_ids, np.int64), int(seed)))
+        dec = np.asarray(pallas_codec.decode_float_pallas_group(
+            words2d, mins, lows, highs, pixels, periodic, int(bits),
+            int(n_pad), dither="uniform", interpret=INTERPRET,
+            key1=k1, key2=k2))
+        return dec.reshape(len(words), n_pad)[:, :n]
     dec = np.asarray(pallas_codec.decode_float_pallas_group(
         words2d, mins, lows, highs, pixels, periodic, int(bits),
         int(n_pad), dither=dither, interpret=INTERPRET))

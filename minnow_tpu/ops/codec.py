@@ -377,16 +377,53 @@ def decode_int_blocks_group(words2d, mins, bits: int, n: int,
     return d.astype(jnp.int64) + mins[:, None]
 
 
+def dither_keys(block_ids, seed):
+    """Per-block device-dither keys: full jax-threefry ``fold_in`` of
+    ``(seed, block_id)`` -- the key schedule stays cryptographic-grade
+    (block streams are arbitrary functions of the id); only the
+    per-ELEMENT mixing uses the cheap counter hash below.  Returns
+    (k1, k2) uint32 (B,) arrays."""
+    base = jax.random.PRNGKey(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(block_ids)
+    return keys[:, 0], keys[:, 1]
+
+
+def dither_hash_u(c, k1, k2):
+    """The framework's device uniform-dither stream (v2): element
+    counter ``c`` (u32) + per-block keys -> u float32 in [0, 1).
+
+    Defined as the lowbias32 avalanche hash (Wellons' statistically
+    tested 2-multiply mixer) of ``(c + k2) ^ k1``, with the standard
+    mantissa-fill float transform.  ~15 vector ops/element -- cheap
+    enough to run fused inside the Pallas decode kernel at near
+    unpack speed, where a full 20-round threefry (~118 ops/elem, the
+    round-2 stream) made the DEFAULT read mode compute-bound at ~1/8th
+    of kernel speed.  Pure u32/f32 ops, bit-identical between the XLA
+    path and the Mosaic kernel; u32*u32 keeps only the exact wrapping
+    low product.  The dither contract is unchanged: deterministic in
+    (seed, block_id, element), uniform on the 2^23 grid,
+    ``|x - x_hat| <= dx`` (dither streams are device/host-specific by
+    design, core/dither.py)."""
+    x = (c + k2) ^ k1
+    x = x ^ (x >> np.uint32(16))
+    x = x * np.uint32(0x21F0AAAD)
+    x = x ^ (x >> np.uint32(15))
+    x = x * np.uint32(0x735A2D97)
+    x = x ^ (x >> np.uint32(15))
+    fb = (x >> np.uint32(9)) | np.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(fb, jnp.float32) \
+        - jnp.float32(1.0)
+
+
 def _dither_u(block_ids, n, dither, seed):
     if dither == "none":
         return None
     if dither == "midpoint":
         return jnp.full((block_ids.shape[0], n), 0.5, jnp.float32)
     if dither == "uniform":
-        base = jax.random.PRNGKey(seed)
-        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(block_ids)
-        return jax.vmap(
-            lambda k: jax.random.uniform(k, (n,), dtype=jnp.float32))(keys)
+        k1, k2 = dither_keys(block_ids, seed)
+        c = jnp.arange(n, dtype=jnp.uint32)[None, :]
+        return dither_hash_u(c, k1[:, None], k2[:, None])
     raise ValueError("unknown dither mode %r" % dither)
 
 
@@ -412,13 +449,13 @@ def decode_float_blocks32_group(words2d, mins, low, high, pixels,
                                 n: int, n_pad: int, seed: int = 0,
                                 interpret: bool = False):
     """Uniform-dither bulk decode with the group-aligned Pallas unpack
-    replacing the XLA unpack (the decode experiments' dominant cost);
-    the threefry dither + dequantize stay XLA because the device dither
-    stream is DEFINED by XLA threefry fold_in (docs/STATUS.md roadmap).
-    Bit-identical to decode_float_blocks32(dither="uniform"): q is
-    unpacked at the padded length and sliced to ``n`` BEFORE the dither
-    (jax threefry output depends on the draw length -- no prefix
-    property -- so u must be drawn at the true n)."""
+    replacing the XLA unpack, and the dither + dequantize tail in XLA.
+    Superseded in production by the fully fused
+    pallas_codec.decode_float_pallas_group(dither="uniform") -- the
+    counter-hash stream (dither_hash_u) is elementwise in the global
+    index, so it fuses into the kernel; this composite remains as the
+    fallback and cross-check.  Bit-identical to
+    decode_float_blocks32(dither="uniform")."""
     from . import pallas_codec
 
     b = mins.shape[0]

@@ -136,10 +136,13 @@ def _unpack_tile_lane(w, bits: int):
     return jnp.concatenate(cols, axis=1)
 
 
-def _dequant_tail(q, mn, low, dx, p, per, dither):
+def _dequant_tail(q, mn, low, dx, p, per, dither, u=None):
     """Shared decode tail on int32 q.  ``mn``/``low``/``dx``/``p``/
     ``per`` are either scalars (per-block kernels) or (1, r) per-column
-    rows (multi-block instances) -- both broadcast over q."""
+    rows (multi-block instances) -- both broadcast over q.  ``u`` is
+    the per-element uniform dither (same shape as q) when
+    ``dither == "uniform"``; the v = f32(q) + u order matches
+    codec.dequantize24 exactly."""
     q = q + mn
     # literals explicitly typed: weak-typed ints inside Mosaic kernels
     # recurse during lowering (round-1 jnp.mod finding, same class)
@@ -150,6 +153,8 @@ def _dequant_tail(q, mn, low, dx, p, per, dither):
     v = q.astype(jnp.float32)
     if dither == "midpoint":
         v = v + jnp.float32(0.5)
+    elif dither == "uniform":
+        v = v + u
     prod = dx * v
     # block FMA contraction of dx*v + low (would break bit parity with
     # the spec): select on a runtime-unprovable predicate, as in
@@ -367,21 +372,47 @@ def _unpack_group_tiles(bits: int, G: int, w_ref, wt_scr, q_scr):
                       jnp.int32(0))
 
 
+def _dither_u_tile(ge: int, r: int, rowcol, k1, k2):
+    """In-kernel uniform dither for a planar (ge, r) tile whose
+    elements are e = rowcol*ge + lane (lane = dim 0; ``rowcol`` is the
+    block-local word-row index per column -- a scalar-plus-iota for the
+    per-block kernel, a (1, r) masked-select row for multi-block
+    instances): the same codec.dither_hash_u stream as the XLA path,
+    computed fused.  ge is a power of two, so the counter build is
+    shift+add only."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ge, r), 0)
+    sh = np.uint32(int(np.log2(ge)))
+    c = (_bc(jnp.broadcast_to(rowcol, (ge, r)), jnp.uint32) << sh) \
+        + _bc(lane, jnp.uint32)
+    from . import codec as _codec
+
+    return _codec.dither_hash_u(c, k1, k2)
+
+
 def _decode_kernel_group(bits: int, G: int, dither: str, w_ref, mn_ref,
-                         low_ref, dx_ref, pix_ref, per_ref, out_ref,
-                         wt_scr, q_scr):
+                         low_ref, dx_ref, pix_ref, per_ref, *rest):
+    if dither == "uniform":
+        k1_ref, k2_ref, out_ref, wt_scr, q_scr = rest
+    else:
+        out_ref, wt_scr, q_scr = rest
     i = pl.program_id(0)
     _unpack_group_tiles(bits, G, w_ref, wt_scr, q_scr)
     q = q_scr[...]                                   # (G*32, r) int32
-    out = _decode_body(q, i, dither, mn_ref, low_ref, dx_ref, pix_ref,
-                       per_ref)
+    u = None
+    if dither == "uniform":
+        ge, r = q.shape
+        rowcol = pl.program_id(1) * jnp.int32(r) \
+            + jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+        u = _dither_u_tile(ge, r, rowcol, _bc(k1_ref[i], jnp.uint32),
+                           _bc(k2_ref[i], jnp.uint32))
+    out = _dequant_tail(q, mn_ref[i], low_ref[i], dx_ref[i],
+                        pix_ref[i], per_ref[i], dither, u=u)
     out_ref[...] = out.T                             # (r, G*32) f32
 
 
 def _decode_kernel_group_multi(bits: int, G: int, kpb: int, t_g: int,
                                dither: str, w_ref, mn_ref, low_ref,
-                               dx_ref, pix_ref, per_ref, out_ref,
-                               wt_scr, q_scr):
+                               dx_ref, pix_ref, per_ref, *rest):
     """Multi-block instance: one grid step decodes ``kpb`` consecutive
     blocks (r = kpb*t_g word-rows).  Small t_g otherwise makes the grid
     b instances of tiny tiles, and the measured per-instance overhead
@@ -389,6 +420,10 @@ def _decode_kernel_group_multi(bits: int, G: int, kpb: int, t_g: int,
     (4096, t_g=64) run-to-run vs a stable ~330 at (512, t_g=1024).
     Per-block scalars become per-COLUMN vectors built from SMEM by
     ``kpb`` masked selects (columns of the planar q are word-rows)."""
+    if dither == "uniform":
+        k1_ref, k2_ref, out_ref, wt_scr, q_scr = rest
+    else:
+        out_ref, wt_scr, q_scr = rest
     i = pl.program_id(0)
     _unpack_group_tiles(bits, G, w_ref, wt_scr, q_scr)
     q = q_scr[...]                                   # (G*32, r) int32
@@ -403,11 +438,24 @@ def _decode_kernel_group_multi(bits: int, G: int, kpb: int, t_g: int,
             row = jnp.where(sel, ref[base + jnp.int32(u)], row)
         return row
 
+    uarr = None
+    if dither == "uniform":
+        # per-column block-local word-row: col - u*t_g via the same
+        # masked selects (no in-kernel mod/div on the data path)
+        sub = jnp.full((1, r), jnp.int32(0), jnp.int32)
+        for u in range(kpb):
+            sel = (col // jnp.int32(t_g)) == jnp.int32(u)
+            sub = jnp.where(sel, jnp.int32(u * t_g), sub)
+        uarr = _dither_u_tile(
+            G * 32, r, col - sub,
+            _bc(vec(k1_ref, jnp.int32(0)), jnp.uint32),
+            _bc(vec(k2_ref, jnp.int32(0)), jnp.uint32))
+
     out = _dequant_tail(q, vec(mn_ref, jnp.int32(0)),
                         vec(low_ref, jnp.float32(0)),
                         vec(dx_ref, jnp.float32(0)),
                         vec(pix_ref, jnp.int32(1)),
-                        vec(per_ref, jnp.int32(0)), dither)
+                        vec(per_ref, jnp.int32(0)), dither, u=uarr)
     out_ref[...] = out.T                             # (r, G*32) f32
 
 
@@ -464,15 +512,23 @@ def _pick_r_group(t_g: int, rows: int = 0) -> int:
 def decode_float_pallas_group(words2d, mins, low, high, pixels,
                               periodic, bits: int, n: int,
                               dither: str = "none",
-                              interpret: bool = False, rows: int = 0):
+                              interpret: bool = False, rows: int = 0,
+                              key1=None, key2=None):
     """Fused aligned decode: (B*t/G, G*bits) words -> (B*t/G, G*32)
     float32 (row-major identical to (B, n); reshape on host is free).
 
     ``words2d`` must already be the aligned 2-D view -- see the module
     comment.  Scalars are (B,) per-block arrays; semantics identical to
-    :func:`decode_float_pallas`."""
-    if dither not in ("none", "midpoint"):
-        raise ValueError("pallas decode supports none/midpoint dither")
+    :func:`decode_float_pallas`.  ``dither="uniform"`` (the DEFAULT
+    production read mode, ref go/group.go:299-310) runs the counter-
+    hash dither (codec.dither_hash_u) fused in-kernel, bit-identical to
+    the XLA path; pass the per-block ``dither_keys`` as (key1, key2)."""
+    if dither not in ("none", "midpoint", "uniform"):
+        raise ValueError("pallas decode supports none/midpoint/uniform"
+                         " dither")
+    if dither == "uniform" and (key1 is None or key2 is None):
+        raise ValueError("uniform dither needs per-block keys "
+                         "(codec.dither_keys)")
     b = mins.shape[0]
     G = group_tiles(bits)
     t_g = (n // 32) // G
@@ -488,6 +544,11 @@ def decode_float_pallas_group(words2d, mins, low, high, pixels,
                       pixels).astype(jnp.float32)
     args = (words2d, mins.astype(jnp.int32), low32, dx,
             pixels.astype(jnp.int32), periodic.astype(jnp.int32))
+    n_scalars = 5
+    if dither == "uniform":
+        args = args + (_bc(key1.astype(jnp.uint32), jnp.int32),
+                       _bc(key2.astype(jnp.uint32), jnp.int32))
+        n_scalars = 7
 
     # small blocks: merge kpb consecutive blocks per grid instance so
     # per-instance overhead amortizes (see _decode_kernel_group_multi)
@@ -501,14 +562,14 @@ def decode_float_pallas_group(words2d, mins, low, high, pixels,
         call = _group_call(
             functools.partial(_decode_kernel_group_multi, bits, G, kpb,
                               t_g, dither),
-            b // kpb, kpb * t_g, kpb * t_g, gw, ge, 5, jnp.float32,
-            interpret, scalar_len=b)
+            b // kpb, kpb * t_g, kpb * t_g, gw, ge, n_scalars,
+            jnp.float32, interpret, scalar_len=b)
         return call(*args)
 
     r = _pick_r_group(t_g, rows)
     call = _group_call(
         functools.partial(_decode_kernel_group, bits, G, dither),
-        b, t_g, r, gw, ge, 5, jnp.float32, interpret)
+        b, t_g, r, gw, ge, n_scalars, jnp.float32, interpret)
     return call(*args)
 
 

@@ -289,9 +289,10 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
             raise AssertionError("group fused decode diverges from XLA "
                                  "decode at t_g=%d" % t_g)
 
-        # uniform dither: kernel unpack + XLA threefry/dequant tail
-        # (the production DEFAULT read mode) vs the all-XLA path,
-        # bitwise -- incl. the slice-before-dither at a ragged n
+        # uniform dither (the production DEFAULT read mode): both the
+        # composite (kernel unpack + XLA dither tail) and the fully
+        # fused in-kernel counter-hash path vs the all-XLA path,
+        # bitwise -- incl. the pad-and-slice at a ragged n
         n_true = n - 7
         ref_u = np.asarray(codec.decode_float_blocks32(
             words[:, :max(bitpack.words_per_block(bits, n_true), 1)],
@@ -304,6 +305,16 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
         if not np.array_equal(ref_u.view(np.uint32),
                               got_u.view(np.uint32)):
             raise AssertionError("group uniform decode diverges from "
+                                 "XLA decode at t_g=%d" % t_g)
+        k1, k2 = codec.dither_keys(np.arange(bsz, dtype=np.int64), 3)
+        fused_u = np.asarray(pallas_codec.decode_float_pallas_group(
+            words.reshape(-1, g * bits), mins, low, high, pix, per,
+            bits, n, dither="uniform", interpret=interpret,
+            key1=np.asarray(k1), key2=np.asarray(k2)))
+        fused_u = fused_u.reshape(bsz, n)[:, :n_true]
+        if not np.array_equal(ref_u.view(np.uint32),
+                              fused_u.view(np.uint32)):
+            raise AssertionError("fused uniform decode diverges from "
                                  "XLA decode at t_g=%d" % t_g)
     n, bsz = 32 * g * 8, 4  # the encode check below reuses this shape
 

@@ -320,3 +320,105 @@ def test_int_encode_production_pallas_path(monkeypatch):
         payload, mn, bits_i = spec.encode_int_block(x[i, :lens[i]])
         assert enc.payloads[i] == payload, i
         assert (int(enc.mins[i]), int(enc.bits[i])) == (mn, bits_i), i
+
+
+def test_fused_uniform_decode_bit_identical():
+    """The fully fused uniform-dither decode (counter hash in-kernel,
+    interpret mode) == the XLA path bitwise, in both the per-block
+    (t_g=128) and multi-block-per-instance (t_g=8) kernel variants
+    (the production DEFAULT read mode, ref go/group.go:299-310)."""
+    from minnow_tpu.ops import codec, pallas_codec
+
+    rng = np.random.default_rng(51)
+    bits = 18
+    g = pallas_codec.group_tiles(bits)
+    pixels = 250000
+    for t_g, bsz in ((8, 5), (128, 2)):
+        n = 32 * g * t_g
+        vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
+        words = np.stack([
+            bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+            for v in vals])
+        mins = rng.integers(-3, 3, bsz).astype(np.int64)
+        low = rng.uniform(-10, 0, bsz).astype(np.float32)
+        high = (low + rng.uniform(100, 300, bsz)).astype(np.float32)
+        pix = np.full(bsz, pixels, np.int64)
+        per = np.arange(bsz) != 1
+        ids = np.arange(10, 10 + bsz, dtype=np.int64)
+        ref = np.asarray(codec.decode_float_blocks32(
+            words, mins, low, high, pix, per, ids, bits, n,
+            dither="uniform", seed=9))
+        k1, k2 = (np.asarray(k) for k in codec.dither_keys(ids, 9))
+        got = np.asarray(pallas_codec.decode_float_pallas_group(
+            words.reshape(-1, g * bits), mins, low, high, pix, per,
+            bits, n, dither="uniform", interpret=True,
+            key1=k1, key2=k2)).reshape(bsz, n)
+        np.testing.assert_array_equal(ref.view(np.uint32),
+                                      got.view(np.uint32)), t_g
+
+
+def test_device_reader_uniform_fused_matches_xla(tmp_path):
+    """minh bulk read with dither="uniform" through the fused kernel
+    fast path (interpret mode) equals the XLA decode exactly, at a
+    ragged (padded) block length."""
+    from minnow_tpu.formats import device_common, minh as minh_mod
+    from minnow_tpu.formats import minh_device
+
+    rng = np.random.default_rng(53)
+    n = 16384 + 1024  # pads to 2*16384 under the 18-bit alignment
+    cols = [minh_mod.Column(type=minh_mod.Float, low=0.0, high=250.0,
+                            dx=0.001)]
+    fname = str(tmp_path / "u.minh")
+    w = minh_mod.create(fname)
+    w.header(["x"], "", cols)
+    w.geometry(250.0, 0, 0)
+    for _ in range(2):
+        w.block([rng.uniform(0, 249.9, n).astype(np.float32)])
+    w.close()
+
+    r = minh_mod.open(fname, dither="uniform", seed=4)
+    try:
+        device_common.INTERPRET = True
+        got = minh_device.read_floats(r, ["x"], dither="uniform",
+                                      seed=4)["x"]
+    finally:
+        device_common.INTERPRET = False
+    xla = minh_device.read_floats(r, ["x"], dither="uniform",
+                                  seed=4)["x"]
+    r.close()
+    np.testing.assert_array_equal(got.view(np.uint32),
+                                  xla.view(np.uint32))
+
+
+def test_dither_hash_stream_quality():
+    """The counter-hash dither stream: uniform marginals, no visible
+    serial correlation, distinct streams across blocks, determinism."""
+    from minnow_tpu.ops import codec
+
+    ids = np.arange(4, dtype=np.int64)
+    k1, k2 = (np.asarray(k) for k in codec.dither_keys(ids, 0))
+    n = 1 << 16
+    c = np.arange(n, dtype=np.uint32)
+    us = np.stack([np.asarray(codec.dither_hash_u(
+        c, np.uint32(k1[b]), np.uint32(k2[b]))) for b in range(4)])
+    assert (us >= 0).all() and (us < 1).all()
+    # uniform marginals: mean 0.5 +- 4 sigma, var 1/12
+    se = 1 / np.sqrt(12 * n)
+    assert np.abs(us.mean(axis=1) - 0.5).max() < 4 * se
+    assert np.abs(us.var(axis=1) - 1 / 12).max() < 0.002
+    # serial correlation ~ 0
+    for b in range(4):
+        x = us[b] - us[b].mean()
+        r1 = (x[:-1] * x[1:]).mean() / x.var()
+        assert abs(r1) < 0.02, r1
+    # blocks decorrelated (not translated copies)
+    for a in range(4):
+        for b in range(a + 1, 4):
+            xa = us[a] - us[a].mean()
+            xb = us[b] - us[b].mean()
+            rab = (xa * xb).mean() / np.sqrt(xa.var() * xb.var())
+            assert abs(rab) < 0.02, (a, b, rab)
+    # deterministic
+    again = np.asarray(codec.dither_hash_u(
+        c, np.uint32(k1[0]), np.uint32(k2[0])))
+    np.testing.assert_array_equal(us[0], again)
