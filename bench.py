@@ -356,18 +356,26 @@ def _safe_slope(by1, by2, t1, t2):
     return by2 / 1e9 / t2
 
 
-def bench_sustained(batches=16, b=None, n=None):
-    """Sustained many-batches-in-flight throughput: enqueue ``batches``
-    encode (then decode) dispatches over pre-resident device buffers and
-    sync ONCE at the end -- the number a production host sees when it
-    streams block batches (ref scripts/text_to_minh.go:208-212 streaming
-    loop).  The per-dispatch tunnel round trip (~25 ms when syncing every
-    call) amortizes across the in-flight queue.
+def bench_sustained(batches=None, b=None, n=None):
+    """Sustained streaming throughput: enqueue encode (then decode)
+    dispatches over pre-resident device buffers with a bounded
+    outstanding window -- the number a production host sees when it
+    streams block batches (ref scripts/text_to_minh.go:208-212
+    streaming loop).
+
+    The answer to a FIXED per-dispatch cost (the ~25 ms tunnel round
+    trip) is more bytes per dispatch: batches auto-size to ~2 GB of
+    input each (MINNOW_TPU_SUSTAINED_BATCH_MB overrides), sized so
+    inputs + outstanding outputs stay well inside the 16 GB HBM.  The
+    sync window (3 outstanding) keeps multi-GB outputs from
+    accumulating (round-2's sync-once-at-the-end OOMed HBM at large
+    shapes) while still overlapping dispatch with device work.
+    Bytes-per-dispatch is reported so the floor amortization is
+    auditable.
 
     Streams through the production kernels (the group-aligned fused
     Pallas encode/decode the BlockEncoder and bulk readers select on
-    TPU) at the streamed (256, 2^17) shape; off-TPU it falls back to
-    the XLA paths at (64, 2^20)."""
+    TPU); off-TPU it falls back to the XLA paths at (64, 2^20)."""
     import jax
     import jax.numpy as jnp
 
@@ -383,10 +391,22 @@ def bench_sustained(batches=16, b=None, n=None):
                                                         pixels)
                   and pallas_codec.supported_group(bits, n or 1 << 17,
                                                    pixels))
-    if b is None:
-        b = 256 if use_pallas else 64
     if n is None:
         n = (1 << 17) if use_pallas else (1 << 20)
+    if b is None:
+        if use_pallas:
+            # auto-size the batch toward ~1 GB of input: fewer, larger
+            # dispatches amortize the fixed per-dispatch cost (larger
+            # still would squeeze the decode window against 16 GB HBM:
+            # inputs x2 + words + (window+1) f32 outputs)
+            target_mb = float(os.environ.get(
+                "MINNOW_TPU_SUSTAINED_BATCH_MB", "1024"))
+            b = max(8, int(target_mb * 1e6 / (n * 4)) // 8 * 8)
+        else:
+            b = 64
+    if batches is None:
+        # total streamed volume ~12 GB (or >= 6 dispatches)
+        batches = max(6, int(12e9 / (b * n * 4)))
     rng = np.random.default_rng(2)
     lowv = np.full(b, low, np.float32)
     highv = np.full(b, high, np.float32)
@@ -429,8 +449,11 @@ def bench_sustained(batches=16, b=None, n=None):
             return codec.dequantize24(q, lowv[:, None], highv[:, None],
                                       pixv[:, None])
 
-    # distinct resident input buffers, round-robin (forces real reads)
-    n_bufs = 4
+    # distinct resident input buffers, round-robin (forces real reads);
+    # 2 buffers at the multi-GB auto-sized batch keeps inputs + the
+    # outstanding-output window inside HBM
+    batch_bytes = b * n * 4
+    n_bufs = 2 if batch_bytes > (1 << 29) else 4
     xs = [rng.uniform(0, 249.9, (b, n)).astype(np.float32)
           for _ in range(n_bufs)]
     if use_pallas:
@@ -443,28 +466,35 @@ def bench_sustained(batches=16, b=None, n=None):
     w0, m0_ = encode(xs[0], *consts)
     dec_consts = (consts[0], jax.device_put(highv), consts[1])
     np.asarray(decode(w0, m0_, *dec_consts)[0, :1])
+    words0, mins0 = w0, m0_
 
-    batch_bytes = b * n * 4
-    t0 = time.perf_counter()
-    outs = [encode(xs[i % n_bufs], *consts) for i in range(batches)]
-    for w, m in outs:
-        np.asarray(m[:1])  # sync every dispatch's completion
-    t_enc = time.perf_counter() - t0
+    window = 3  # outstanding dispatches: overlap without HBM blowup
 
-    words_bufs = [outs[i][0] for i in range(n_bufs)]
-    mins_bufs = [outs[i][1] for i in range(n_bufs)]
-    t0 = time.perf_counter()
-    douts = [decode(words_bufs[i % n_bufs], mins_bufs[i % n_bufs],
-                    *dec_consts) for i in range(batches)]
-    for d in douts:
-        np.asarray(d[0, :1])
-    t_dec = time.perf_counter() - t0
+    def stream(fn, arg_fn, sync):
+        t0 = time.perf_counter()
+        pending = []
+        for i in range(batches):
+            pending.append(fn(*arg_fn(i)))
+            if len(pending) > window:
+                sync(pending.pop(0))
+        for o in pending:
+            sync(o)
+        return time.perf_counter() - t0
+
+    t_enc = stream(encode, lambda i: (xs[i % n_bufs],) + consts,
+                   lambda o: np.asarray(o[1][:1]))
+    t_dec = stream(decode,
+                   lambda i: (words0, mins0) + dec_consts,
+                   lambda o: np.asarray(o[0, :1]))
 
     total_gb = batches * batch_bytes / 1e9
     return {"sustained_encode_GBps": round(total_gb / t_enc, 3),
             "sustained_decode_GBps": round(total_gb / t_dec, 3),
             "sustained_total_GB": round(total_gb, 2),
-            "sustained_batches_in_flight": batches,
+            "sustained_batches": batches,
+            "sustained_bytes_per_dispatch_MB": round(
+                batch_bytes / 1e6, 1),
+            "sustained_sync_window": window,
             "sustained_path": "pallas_group(%d, %d)" % (b, n)
             if use_pallas else "xla(%d, %d)" % (b, n)}
 
