@@ -22,4 +22,7 @@ echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
 echo "=== int attrib $(date +%H:%M:%S) ===" >> "$LOG"
 timeout 1800 python tools/int_encode_attrib.py >> "$LOG" 2>&1
 echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "=== r3 kernel tune $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 3600 python tools/r3_kernel_tune.py >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
 echo "ALL DONE" >> "$LOG"
