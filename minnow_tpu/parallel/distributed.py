@@ -21,7 +21,8 @@ import numpy as np
 
 from .pipeline import EncodedBlocks
 
-__all__ = ["init_distributed", "gather_blocks", "is_coordinator"]
+__all__ = ["init_distributed", "gather_blocks", "is_coordinator",
+           "barrier"]
 
 
 # Env vars that signal the caller intends a multi-process run: explicit
@@ -93,6 +94,19 @@ def is_coordinator() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def barrier(name: str = "minnow_barrier") -> None:
+    """Cross-process synchronization point (e.g. wait for the
+    coordinator's file write before every process opens it for the
+    sharded read-back).  Single-process: no-op."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils as mhu
+
+    mhu.sync_global_devices(name)
 
 
 def gather_blocks(enc: EncodedBlocks) -> EncodedBlocks:

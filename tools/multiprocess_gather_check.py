@@ -122,9 +122,9 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
     enc_f = gather_blocks(be.encode_float_blocks(
         fb, flow, fhigh, fpix, lens=flens))
 
+    mp_file = out_file + ".minh"
     if process_id == 0:
         # coordinator writes ONE minh file from the gathered streams
-        mp_file = out_file + ".minh"
         w = minh.create(mp_file)
         w.header(names, "multiprocess gather check", cols)
         w.geometry(L, 0, 0)
@@ -150,6 +150,35 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
                          "counts": [len(m) for m in [
                              [i for i, o in enumerate(OWNERS) if o == p]
                              for p in range(num)]]}, f)
+
+    # ---- sharded READ-BACK (the decode direction of the distributed
+    # contract, ref go/reader.go:114-127): wait for the coordinator's
+    # write, then every process decodes its OWNED row-blocks from the
+    # shared file through the device decode path and bit-compares them
+    # to the host reader
+    from minnow_tpu.parallel.distributed import barrier
+
+    barrier("minh_written")
+    r = minh.open(mp_file, dither="none")
+    ok = True
+    for g in mine:
+        n = BLOCK_SIZES[g]
+        host_i = r.int_block(g, ["id"])["id"]
+        host_f = r.float_block(g, ["x"])["x"]
+        raw_i = r.f.raw_block(r._block_idx(0, g))
+        raw_f = r.f.raw_block(r._block_idx(1, g))
+        dec_i = be.decode_int_blocks(
+            [raw_i[0]], [raw_i[1]], [raw_i[2]], n)[0]
+        lowp, highp, pixp, perp = raw_f[4]
+        dec_f = be.decode_float_blocks(
+            [raw_f[0]], [raw_f[1]], [raw_f[2]], lowp, highp, pixp, n,
+            periodic=perp, dither="none")[0]
+        ok = ok and np.array_equal(dec_i, host_i) \
+            and np.array_equal(dec_f.view(np.uint32),
+                               host_f.view(np.uint32))
+    r.close()
+    with open(out_file + ".dec%d" % process_id, "w") as f:
+        f.write("ok" if ok else "MISMATCH")
 
 
 def main() -> int:
@@ -184,9 +213,14 @@ def main() -> int:
     mp_bytes = open(got["mp_file"], "rb").read()
     ref_bytes = open(ref_file, "rb").read()
     assert mp_bytes == ref_bytes, "multiprocess minh differs from host"
+    for p in range(NUM_PROCS):
+        with open(out_file + ".dec%d" % p) as f:
+            assert f.read() == "ok", \
+                "sharded decode mismatch on process %d" % p
     print("multiprocess gather OK: %d processes, unequal block counts "
           "%s, ragged lens, coordinator-written minh byte-identical to "
-          "a single-process host write (%d bytes)"
+          "a single-process host write (%d bytes); sharded read-back "
+          "bit-exact on every process"
           % (NUM_PROCS, got["counts"], len(mp_bytes)))
     return 0
 
