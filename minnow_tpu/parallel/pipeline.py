@@ -178,11 +178,11 @@ class BlockEncoder:
 
     def _pallas_pack_ints(self, rows, mins, lens, width):
         """Group-aligned Pallas delta+pack for one int width bucket, or
-        None when the shape/backend/mesh doesn't qualify (caller packs
-        via XLA; bytes identical either way).  Mesh batches stay on the
-        XLA path (auto-SPMD shards it; the kernel would need its own
-        shard_map plumbing for a path the bench measures unsharded)."""
-        if self.mesh is not None or not self._pallas_mode():
+        None when the shape/backend doesn't qualify (caller packs via
+        XLA; bytes identical either way).  Under a mesh the kernel runs
+        per-device inside shard_map over the block axis (pallas_call
+        does not auto-shard), like the float encode kernel."""
+        if not self._pallas_mode():
             return None
         from ..ops import pallas_encode, selfcheck
 
@@ -201,8 +201,28 @@ class BlockEncoder:
         interpret = jax.default_backend() != "tpu"
         if not selfcheck.kernel_ok("encode", interpret=interpret):
             return None
-        return pallas_encode.delta_pack_int_pallas(
-            rows, mins, lens, width, n, n_pad, interpret=interpret)
+
+        def call(rows, mins, lens):
+            return pallas_encode.delta_pack_int_pallas(
+                rows, mins, lens, width, n, n_pad,
+                interpret=interpret)
+
+        if self.mesh is None:
+            return call(rows, mins, lens)
+        from jax.sharding import PartitionSpec as P
+
+        b = rows.shape[0]
+        bp = self._pad(b)
+        if bp != b:
+            rows = np.pad(np.asarray(rows), [(0, bp - b), (0, 0)])
+            mins = np.pad(mins, (0, bp - b))
+            lens = np.pad(lens, (0, bp - b))
+        row = P(mesh_lib.BLOCK_AXIS)
+        mat = P(mesh_lib.BLOCK_AXIS, None)
+        fn = jax.shard_map(call, mesh=self.mesh,
+                           in_specs=(mat, row, row), out_specs=mat,
+                           check_vma=False)
+        return fn(*self._shard(rows, mins, lens))[:b]
 
     # -- encode ------------------------------------------------------------
 

@@ -413,3 +413,24 @@ def test_boundary_mesh_writer_byte_identical(tmp_path, mesh8):
     write(host_f, None)
     write(mesh_f, BlockEncoder(mesh8))
     assert open(host_f, "rb").read() == open(mesh_f, "rb").read()
+
+
+def test_int_encode_pallas_under_mesh(mesh8, monkeypatch):
+    """The int pack kernel under shard_map over the 8-device mesh
+    (interpret mode per device) produces spec-exact bytes, incl.
+    block-count padding (b=6 pads to 8)."""
+    from minnow_tpu.ops.pallas_codec import group_tiles
+
+    monkeypatch.setenv("MINNOW_TPU_PALLAS_SELFCHECK", "0")
+    monkeypatch.setenv("MINNOW_TPU_PALLAS_ENCODE", "1")
+    rng = np.random.default_rng(71)
+    n = 32 * group_tiles(41) * 8
+    x = rng.integers(0, 1 << 40, (6, n), dtype=np.int64)
+    x[0, 0], x[0, 1] = 0, (1 << 41) - 1
+    lens = np.full(6, n, np.int64)
+    lens[3] = n - 11
+    enc = BlockEncoder(mesh8).encode_int_blocks(x, lens=lens)
+    for i in range(6):
+        payload, mn, bits_i = spec.encode_int_block(x[i, :lens[i]])
+        assert enc.payloads[i] == payload, i
+        assert (int(enc.mins[i]), int(enc.bits[i])) == (mn, bits_i), i
