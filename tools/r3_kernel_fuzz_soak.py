@@ -1,0 +1,88 @@
+"""Extended interpret-mode fuzz soak of the round-3 kernels (int pack,
+fused uniform decode) -- many random width/shape/config draws beyond
+the suite's seeds.  Host-only; run during chip downtime.
+
+  python tools/r3_kernel_fuzz_soak.py [n_seeds]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def one_int_pack(rng):
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, pallas_encode
+    from minnow_tpu.ops.pallas_codec import group_tiles
+
+    bits = int(rng.integers(1, 65))
+    g = group_tiles(bits)
+    align = 32 * g * 8
+    n_pad = align * int(rng.integers(1, 3))
+    n = int(rng.integers(max(1, n_pad - align + 1), n_pad + 1))
+    bsz = int(rng.integers(1, 4))
+    hi_excl = (1 << bits) - 1 if bits == 64 else (1 << bits)
+    vals = rng.integers(0, hi_excl, (bsz, n), dtype=np.uint64)
+    mins = rng.integers(-(2 ** 50), 2 ** 50, bsz).astype(np.int64)
+    x = vals.view(np.int64) + mins[:, None]
+    lens = rng.integers(0, n + 1, bsz).astype(np.int64)
+    words = np.asarray(pallas_encode.delta_pack_int_pallas(
+        x, mins, lens, bits, n, n_pad, interpret=True))
+    for i in range(bsz):
+        d = np.zeros(n, np.uint64)
+        d[:lens[i]] = (x[i, :lens[i]] - mins[i]).view(np.uint64)
+        ref = spec.pack_bits(d, bits)
+        got = bitpack.words_to_bytes(words[i], bits, n)
+        assert got == ref, ("int_pack", bits, n, n_pad, i)
+
+
+def one_uniform(rng):
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import bitpack, codec, pallas_codec
+
+    bits = int(rng.integers(2, 25))
+    g = pallas_codec.group_tiles(bits)
+    t_g = int(rng.choice([8, 16, 24, 64, 128, 136]))
+    n = 32 * g * t_g
+    bsz = int(rng.integers(1, 4))
+    pixels = min((1 << bits) - 1, (1 << 24) - 1)
+    vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
+    words = np.stack([
+        bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+        for v in vals])
+    mins = rng.integers(-3, 4, bsz).astype(np.int64)
+    low = rng.uniform(-1000, 1000, bsz).astype(np.float32)
+    high = (low + rng.uniform(0.5, 5000, bsz)).astype(np.float32)
+    pix = np.full(bsz, pixels, np.int64)
+    per = rng.integers(0, 2, bsz).astype(bool)
+    ids = rng.integers(0, 1 << 50, bsz).astype(np.int64)
+    sd = int(rng.integers(0, 1000))
+    ref = np.asarray(codec.decode_float_blocks32(
+        words, mins, low, high, pix, per, ids, bits, n,
+        dither="uniform", seed=sd))
+    k1, k2 = (np.asarray(k) for k in codec.dither_keys(ids, sd))
+    got = np.asarray(pallas_codec.decode_float_pallas_group(
+        words.reshape(-1, g * bits), mins, low, high, pix, per,
+        bits, n, dither="uniform", interpret=True,
+        key1=k1, key2=k2)).reshape(bsz, n)
+    assert np.array_equal(ref.view(np.uint32), got.view(np.uint32)), \
+        ("uniform", bits, t_g, bsz, sd)
+
+
+def main():
+    n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    t0 = time.time()
+    for seed in range(n_seeds):
+        rng = np.random.default_rng(31337 + seed)
+        one_int_pack(rng)
+        one_uniform(rng)
+        if (seed + 1) % 10 == 0:
+            print("seed %d/%d ok (%.0fs)" % (seed + 1, n_seeds,
+                                             time.time() - t0),
+                  flush=True)
+    print("SOAK OK: %d seeds, %.0fs" % (n_seeds, time.time() - t0))
+
+
+if __name__ == "__main__":
+    main()
