@@ -5,10 +5,14 @@ the suite's seeds.  Host-only; run during chip downtime.
   python tools/r3_kernel_fuzz_soak.py [n_seeds]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def one_int_pack(rng):
