@@ -87,7 +87,12 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
         # fully fused: the counter-hash dither (codec.dither_hash_u)
         # runs inside the kernel; only the per-block keys (full
         # threefry fold_in) come from XLA.  Bit-identical to the XLA
-        # decode_float_blocks32(dither="uniform") path.
+        # decode_float_blocks32(dither="uniform") path.  Own self-check
+        # family: a hash divergence falls back without disabling the
+        # none/midpoint kernel paths.
+        if not selfcheck.kernel_ok("decode_uniform",
+                                   interpret=INTERPRET):
+            return None
         k1, k2 = (np.asarray(k) for k in codec.dither_keys(
             np.asarray(block_ids, np.int64), int(seed)))
         dec = np.asarray(pallas_codec.decode_float_pallas_group(

@@ -131,14 +131,51 @@ def _check_decode(interpret: bool) -> None:
         "fused int decode diverges from the XLA path"
 
 
-_CHECKS = {"encode": _check_encode, "decode": _check_decode}
+def _check_decode_uniform(interpret: bool) -> None:
+    """The DEFAULT read mode's fused in-kernel counter-hash dither: a
+    separate family from plain decode -- its u32 multiplies are a
+    distinct Mosaic surface from the unpack, and a divergence here must
+    not disable the proven none/midpoint kernel paths."""
+    from ..core import spec
+    from . import bitpack, codec, pallas_codec
+
+    rng = np.random.default_rng(13)
+    bits = 18
+    g = pallas_codec.group_tiles(bits)
+    n, bsz = 32 * g * 8, 2
+    pixels = 250000
+    vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
+    words = np.stack([
+        bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
+        for v in vals])
+    mins = np.zeros(bsz, np.int64)
+    low = np.zeros(bsz, np.float32)
+    high = np.full(bsz, 250.0, np.float32)
+    pix = np.full(bsz, pixels, np.int64)
+    per = np.ones(bsz, bool)
+    ids = np.arange(bsz, dtype=np.int64)
+    ref_u = np.asarray(codec.decode_float_blocks32(
+        words, mins, low, high, pix, per, ids, bits, n,
+        dither="uniform", seed=1))
+    k1, k2 = (np.asarray(k) for k in codec.dither_keys(ids, 1))
+    got_u = np.asarray(pallas_codec.decode_float_pallas_group(
+        words.reshape(-1, g * bits), mins, low, high, pix, per,
+        bits, n, dither="uniform", interpret=interpret,
+        key1=k1, key2=k2)).reshape(bsz, n)
+    assert np.array_equal(ref_u.view(np.uint32),
+                          got_u.view(np.uint32)), \
+        "fused uniform decode diverges from the XLA path"
+
+
+_CHECKS = {"encode": _check_encode, "decode": _check_decode,
+           "decode_uniform": _check_decode_uniform}
 
 
 def kernel_ok(family: str, interpret: bool = False) -> bool:
-    """True iff the Pallas kernel ``family`` ("encode" | "decode") passed
-    its one-shot self-check on this backend in this process.  Failure is
-    cached, warned once, and makes production auto-selection fall back
-    to the XLA path."""
+    """True iff the Pallas kernel ``family`` ("encode" | "decode" |
+    "decode_uniform") passed its one-shot self-check on this backend in
+    this process.  Failure is cached, warned once, and makes production
+    auto-selection fall back to the XLA path."""
     if os.environ.get("MINNOW_TPU_PALLAS_SELFCHECK", "") == "0":
         return True
     key = (family, bool(interpret))

@@ -70,3 +70,48 @@ def test_encoder_falls_back_to_xla_on_selfcheck_failure(monkeypatch):
         assert enc.payloads[i] == payload
         assert int(enc.mins[i]) == mn
         assert int(enc.bits[i]) == bits
+
+
+def test_uniform_family_failure_keeps_none_kernel(monkeypatch, tmp_path):
+    """A decode_uniform self-check failure must fall the uniform read
+    back to XLA WITHOUT disabling the none/midpoint kernel paths, and
+    values must still be correct."""
+    from minnow_tpu.formats import device_common, minh as minh_mod
+    from minnow_tpu.formats import minh_device
+
+    def boom(interpret):
+        raise AssertionError("synthetic uniform-hash divergence")
+
+    monkeypatch.setitem(selfcheck._CHECKS, "decode_uniform", boom)
+
+    rng = np.random.default_rng(19)
+    n = 16384
+    x = rng.uniform(0, 249.9, n).astype(np.float32)
+    cols = [minh_mod.Column(type=minh_mod.Float, low=0.0, high=250.0,
+                            dx=0.001)]
+    fname = str(tmp_path / "u.minh")
+    w = minh_mod.create(fname)
+    w.header(["x"], "", cols)
+    w.geometry(250.0, 0, 0)
+    w.block([x])
+    w.close()
+
+    r = minh_mod.open(fname, dither="none")
+    try:
+        device_common.INTERPRET = True
+        with pytest.warns(RuntimeWarning, match="self-check"):
+            got_u = minh_device.read_floats(r, ["x"],
+                                            dither="uniform")["x"]
+        # none-mode still allowed to use the kernel (family verdicts
+        # are independent)
+        assert selfcheck.kernel_ok("decode", interpret=True)
+        got_n = minh_device.read_floats(r, ["x"], dither="none")["x"]
+    finally:
+        device_common.INTERPRET = False
+    xla_u = minh_device.read_floats(r, ["x"], dither="uniform")["x"]
+    host_n = r.floats(["x"])["x"]
+    r.close()
+    np.testing.assert_array_equal(got_u.view(np.uint32),
+                                  xla_u.view(np.uint32))
+    np.testing.assert_array_equal(got_n.view(np.uint32),
+                                  host_n.view(np.uint32))
