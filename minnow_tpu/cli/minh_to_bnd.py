@@ -12,7 +12,7 @@ device encoder (formats/boundary_device.py).
 Note on bytes: this conversion re-encodes *dithered* decodes (as the
 reference does with Go's unseeded RNG, ref go/group.go:308), so output
 bytes depend on the dither stream -- and the host (Philox) and device
-(threefry) uniform streams are backend-specific by design
+(counter-hash) uniform streams are backend-specific by design
 (core/dither.py).  With ``dither="none"``/``"midpoint"`` host and device
 paths produce byte-identical boundary files (tested).
 """

@@ -56,12 +56,10 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
     the shape/backend/dither doesn't qualify (caller falls back to the
     XLA path).
 
-    ``none``/``midpoint`` run fully fused in the kernel.  ``uniform``
-    (the default read mode) runs the kernel unpack + the XLA
-    threefry-dither/dequantize tail -- the dither stream is DEFINED by
-    XLA threefry, so it cannot move into the kernel; replacing just the
-    unpack still removes the XLA decode's dominant cost.  Requires
-    ``block_ids`` (the dither keys)."""
+    All three modes run fully fused in the kernel; ``uniform`` (the
+    default read mode) computes the counter-hash dither stream
+    (codec.dither_hash_u) in-kernel, bit-identical to the XLA path.
+    Requires ``block_ids`` (the dither keys)."""
     if not _enabled():
         return None
     if dither == "uniform":

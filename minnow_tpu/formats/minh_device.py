@@ -6,8 +6,10 @@ bulk reads this module gathers the packed payloads (host IO), then
 unpacks + dequantizes all blocks of a column in batched width-specialized
 device calls (ops/codec.py), bucketed by (block length, width).
 
-Dither: device threefry keyed on (seed, global block id) -- deterministic;
-``none`` mode is bit-identical to the host reader.
+Dither: the device counter-hash stream keyed on (seed, global block
+id) -- deterministic, fused in-kernel on the fast path (see
+ops/codec.dither_hash_u); ``none`` mode is bit-identical to the host
+reader.
 """
 
 from __future__ import annotations

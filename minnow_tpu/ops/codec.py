@@ -9,8 +9,8 @@ Batched, mask-based equivalents of the per-block reference loops:
   sequential greedy scan is provably equal for in-range inputs; blocks the
   reduction flags invalid fall back to the host scan),
 * per-block min-subtraction and delta statistics (ref go/group.go:242-255),
-* dequantization with deterministic threefry dither
-  (ref go/group.go:299-310).
+* dequantization with the deterministic counter-hash dither
+  (dither_hash_u; ref go/group.go:299-310).
 
 All functions take a batch of blocks ``(B, N)`` with a per-block valid
 length ``n`` (padding is masked out of every statistic and packs as zero
@@ -476,9 +476,10 @@ def decode_float_blocks(words, mins, low, high, pixels, periodic,
                         dither: str = "none", seed: int = 0):
     """Batched float-block decode (ref go/group.go:299-310).
 
-    Device dither: threefry keyed on ``(seed, block_id)`` -- deterministic,
-    uniform float32 in [0,1).  Modes ``none``/``midpoint`` are bit-identical
-    to the host reader.
+    Device dither: the counter-hash stream keyed on ``(seed,
+    block_id)`` (dither_hash_u) -- deterministic, uniform float32 in
+    [0,1).  Modes ``none``/``midpoint`` are bit-identical to the host
+    reader.
     """
     q = decode_int_blocks(words, mins, bits, n)
     p = pixels[:, None]

@@ -18,8 +18,9 @@ go/bit/bit.go:41-81 + go/group.go:299-310).
 Bit-exactness contract: identical to codec.decode_float_blocks32 /
 the host spec in the shared deterministic dither modes (``none`` /
 ``midpoint``); ops/validate.py gates it on the real backend before
-bench.py trusts it.  The ``uniform`` device dither stream is defined by
-the XLA threefry path, so uniform decode stays on the XLA path.
+bench.py trusts it.  ``uniform`` (the counter-hash stream v2,
+codec.dither_hash_u) runs fully fused in the group kernel, identical
+to the XLA path bitwise.
 
 Shapes: widths <= 32, pixels < 2^24, n % 32 == 0 (flagship and all
 realistic minh configs); other shapes use the XLA path.
