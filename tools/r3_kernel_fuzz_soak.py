@@ -85,6 +85,14 @@ def main():
             print("seed %d/%d ok (%.0fs)" % (seed + 1, n_seeds,
                                              time.time() - t0),
                   flush=True)
+            # every random config jit-compiles a fresh program; the
+            # in-process cache grows without bound and LLVM's JIT
+            # eventually fails with "Cannot allocate memory" (observed
+            # at ~50 random configs).  Dropping the caches keeps the
+            # soak bounded; recompiles are the cost.
+            import jax
+
+            jax.clear_caches()
     print("SOAK OK: %d seeds, %.0fs" % (n_seeds, time.time() - t0))
 
 
