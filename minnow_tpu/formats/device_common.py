@@ -73,12 +73,14 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
         return None
     from ..ops import codec, pallas_codec, selfcheck
 
-    if not selfcheck.kernel_ok("decode", interpret=INTERPRET):
-        return None
+    # cheap eligibility first: non-qualifying reads must not pay the
+    # one-shot self-check's compile cost for a path they can't use
     if not (0 < bits <= 32 and pixels.max() < (1 << 24)):
         return None
     geo = _aligned_words2d(words, bits, n)
     if geo is None:
+        return None
+    if not selfcheck.kernel_ok("decode", interpret=INTERPRET):
         return None
     words2d, n_pad = geo
     if dither == "uniform":
@@ -116,12 +118,12 @@ def group_decode_ints(words, mins, bits, n):
         return None
     from ..ops import codec, selfcheck
 
-    if not selfcheck.kernel_ok("decode", interpret=INTERPRET):
-        return None
     if not 0 < bits <= 64:
         return None
     geo = _aligned_words2d(words, bits, n)
     if geo is None:
+        return None
+    if not selfcheck.kernel_ok("decode", interpret=INTERPRET):
         return None
     words2d, n_pad = geo
     dec = np.asarray(codec.decode_int_blocks_group(

@@ -861,6 +861,8 @@ def delta_pack_int_pallas(x, mins, lens, bits: int, n: int, n_pad: int,
 
     bsz = x.shape[0]
     g = group_tiles(bits)
+    if x.shape[1] != n:
+        raise ValueError("x is (B, %d) but n=%d" % (x.shape[1], n))
     mask = jax.lax.broadcasted_iota(
         jnp.int64, (1, x.shape[1]), 1) < lens[:, None]
     d = jnp.where(mask, x - mins[:, None], 0)

@@ -23,6 +23,7 @@ representatives).
 from __future__ import annotations
 
 import os
+import threading
 import warnings
 
 import numpy as np
@@ -30,6 +31,10 @@ import numpy as np
 __all__ = ["kernel_ok", "reset"]
 
 _VERDICTS: dict = {}
+# serializes first-use checks: concurrent encoders (e.g. text_to_minh
+# --device --jobs=N worker threads) must not each run the expensive
+# check on a shared cache miss
+_LOCK = threading.Lock()
 
 
 def reset() -> None:
@@ -73,24 +78,27 @@ def _check_encode(interpret: bool) -> None:
             bitpack.words_to_bytes(words[i], bits, n) == payload, \
             "kernel payload bytes diverge from spec"
 
-    # int-pack representative (ID-column width 41; the 33-64-bit limb
-    # planar pack is a separate kernel path)
-    ibits = 41
-    gi = pallas_codec.group_tiles(ibits)
-    ni = 32 * gi * 8
-    xi = rng.integers(0, 1 << 40, (2, ni), dtype=np.int64)
-    xi[:, 0] = 0
-    xi[:, 1] = (1 << 41) - 1  # pin the true width to 41
-    mins_i = xi.min(axis=1)
-    lens_i = np.full(2, ni, np.int64)
-    words_i = np.asarray(pallas_encode.delta_pack_int_pallas(
-        xi, mins_i, lens_i, ibits, ni, ni, interpret=interpret))
-    for i in range(2):
-        payload, mn, bts = spec.encode_int_block(xi[i])
-        assert int(mins_i[i]) == mn
-        if bts == ibits:
+    # int-pack representatives: width 41 (the 33-64-bit limb planar
+    # path) AND width 18 (the <= 32 lo-only kernel variant -- a
+    # different code path that must be certified separately)
+    for ibits in (41, 18):
+        gi = pallas_codec.group_tiles(ibits)
+        ni = 32 * gi * 8
+        xi = rng.integers(0, 1 << (ibits - 1), (2, ni),
+                          dtype=np.int64)
+        xi[:, 0] = 0
+        xi[:, 1] = (1 << ibits) - 1  # pin the true width
+        mins_i = xi.min(axis=1)
+        lens_i = np.full(2, ni, np.int64)
+        words_i = np.asarray(pallas_encode.delta_pack_int_pallas(
+            xi, mins_i, lens_i, ibits, ni, ni, interpret=interpret))
+        for i in range(2):
+            payload, mn, bts = spec.encode_int_block(xi[i])
+            assert int(mins_i[i]) == mn
+            assert bts == ibits
             assert bitpack.words_to_bytes(words_i[i], ibits, ni) == \
-                payload, "int pack kernel bytes diverge from spec"
+                payload, "int pack kernel bytes diverge from spec " \
+                "(bits=%d)" % ibits
 
 
 def _check_decode(interpret: bool) -> None:
@@ -129,6 +137,23 @@ def _check_decode(interpret: bool) -> None:
     ref_i = np.asarray(codec.decode_int_blocks(words, mins, bits, n))
     assert np.array_equal(got_i, ref_i), \
         "fused int decode diverges from the XLA path"
+    # wide (33-64-bit) limb unpack: a distinct Mosaic surface that
+    # group_decode_ints engages for ID columns -- must be certified too
+    wbits = 41
+    gw = pallas_codec.group_tiles(wbits)
+    nw = 32 * gw * 8
+    walvs = rng.integers(0, 1 << wbits, (2, nw), dtype=np.uint64)
+    wwords = np.stack([
+        bitpack.bytes_to_words(spec.pack_bits(v, wbits), wbits, nw)
+        for v in walvs])
+    wmins = rng.integers(-100, 100, 2).astype(np.int64)
+    got_w = np.asarray(codec.decode_int_blocks_group(
+        wwords.reshape(-1, gw * wbits), wmins, wbits, nw,
+        interpret=interpret))
+    ref_w = np.asarray(codec.decode_int_blocks(wwords, wmins, wbits,
+                                               nw))
+    assert np.array_equal(got_w, ref_w), \
+        "wide limb unpack diverges from the XLA path"
 
 
 def _check_decode_uniform(interpret: bool) -> None:
@@ -181,15 +206,19 @@ def kernel_ok(family: str, interpret: bool = False) -> bool:
     key = (family, bool(interpret))
     verdict = _VERDICTS.get(key)
     if verdict is None:
-        try:
-            _CHECKS[family](interpret)
-            verdict = True
-        except Exception as e:  # noqa: BLE001 - any failure disables path
-            warnings.warn(
-                "minnow_tpu: Pallas %s kernel failed its one-shot "
-                "self-check on this backend; falling back to the XLA "
-                "path for this process (%s)" % (family, str(e)[:200]),
-                RuntimeWarning, stacklevel=3)
-            verdict = False
-        _VERDICTS[key] = verdict
+        with _LOCK:
+            verdict = _VERDICTS.get(key)
+            if verdict is None:
+                try:
+                    _CHECKS[family](interpret)
+                    verdict = True
+                except Exception as e:  # noqa: BLE001 - disables path
+                    warnings.warn(
+                        "minnow_tpu: Pallas %s kernel failed its "
+                        "one-shot self-check on this backend; falling "
+                        "back to the XLA path for this process (%s)"
+                        % (family, str(e)[:200]),
+                        RuntimeWarning, stacklevel=3)
+                    verdict = False
+                _VERDICTS[key] = verdict
     return verdict

@@ -25,17 +25,35 @@ __all__ = ["init_distributed", "gather_blocks", "is_coordinator",
            "barrier"]
 
 
-# Env vars that signal the caller intends a multi-process run: explicit
-# coordinator config plus the cluster environments jax.distributed
-# auto-detects (SLURM, Open MPI, generic PMI, GKE) -- an intended
-# multi-process run on those clusters must never silently degrade to a
-# wrong single-process run.
+# Env vars whose mere presence signals multi-process intent (explicit
+# coordinator config).
 _INTENT_ENV = (
     "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
     "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES",
-    "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
-    "K8S_NUM_PROCESSES",
 )
+# Cluster autodetect environments (SLURM, Open MPI, PMI, GKE): intent
+# only when they announce MORE THAN ONE task -- every single-task job
+# inside `salloc` sets SLURM_JOB_ID, and a bare job id must not turn a
+# correct single-process run into a hard failure when jax's cluster
+# autodetect chokes on a partial environment.
+_INTENT_SIZE_ENV = (
+    "SLURM_NTASKS", "SLURM_STEP_NUM_TASKS", "OMPI_COMM_WORLD_SIZE",
+    "PMI_SIZE", "K8S_NUM_PROCESSES",
+)
+
+
+def _multiprocess_intent(environ) -> bool:
+    if any(environ.get(v) for v in _INTENT_ENV):
+        return True
+    for v in _INTENT_SIZE_ENV:
+        val = environ.get(v)
+        if val:
+            try:
+                if int(val) > 1:
+                    return True
+            except ValueError:
+                return True  # unparseable size: assume intent
+    return False
 
 
 def _already_initialized() -> bool:
@@ -67,7 +85,7 @@ def init_distributed(**kw) -> None:
 
     if _already_initialized():
         return
-    intended = bool(kw) or any(os.environ.get(v) for v in _INTENT_ENV)
+    intended = bool(kw) or _multiprocess_intent(os.environ)
     try:
         jax.distributed.initialize(**kw)
     except Exception as e:  # noqa: BLE001 - classified below
@@ -76,8 +94,11 @@ def init_distributed(**kw) -> None:
             return
         if not intended:
             return  # no multi-process intent anywhere: single process
-        if "before any jax" in msg or "backend" in msg and \
-                "initialize" in msg:
+        # jax's call-ordering error says "must be called before any JAX
+        # computations/calls ..." -- match that phrase specifically so
+        # genuine coordinator failures whose message merely mentions
+        # "backend"/"initialize" keep the coordinator diagnosis
+        if "must be called before" in msg:
             raise RuntimeError(
                 "init_distributed() must be the first JAX call in the "
                 "process: the XLA backends are already initialized, so "

@@ -521,9 +521,8 @@ class BlockEncoder:
                     words[row] = bitpack.bytes_to_words(
                         payloads[block_id], width, n)
             sharded, nb = self._shard_rows(
-                words, mins[idx], low[idx].copy(), high[idx].copy(),
-                pixels[idx].copy(), periodic[idx].copy(),
-                block_ids[idx])
+                words, mins[idx], low[idx], high[idx], pixels[idx],
+                periodic[idx], block_ids[idx])
             (words_d, mins_d, low_d, high_d, pix_d, per_d, bid_d) = \
                 sharded
             dec = np.asarray(codec.decode_float_blocks(

@@ -171,8 +171,9 @@ def test_init_distributed_backend_already_init_classified(monkeypatch):
 
 def test_init_distributed_cluster_env_intent(monkeypatch):
     """SLURM / Open MPI auto-detect environments count as multi-process
-    intent: an init failure there must propagate, never silently
-    degrade to single-process (ADVICE r2)."""
+    intent only when they announce MORE THAN ONE task: an init failure
+    there must propagate; a single-task allocation (bare SLURM_JOB_ID,
+    ntasks=1) must stay a working single-process run (ADVICE r2)."""
     import pytest
 
     from minnow_tpu.parallel import distributed
@@ -183,11 +184,40 @@ def test_init_distributed_cluster_env_intent(monkeypatch):
         raise RuntimeError("connection refused")
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
-    for var in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE"):
-        monkeypatch.setenv(var, "12345")
+    for var in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE"):
+        monkeypatch.setenv(var, "4")
         with pytest.raises(RuntimeError, match="refusing to continue"):
             distributed.init_distributed()
         monkeypatch.delenv(var)
+
+    # single-task SLURM allocation: no intent, silent single-process
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    distributed.init_distributed()
+    monkeypatch.delenv("SLURM_JOB_ID")
+    monkeypatch.delenv("SLURM_NTASKS")
+
+
+def test_init_distributed_error_classification(monkeypatch):
+    """A coordinator error whose message merely mentions 'backend' and
+    'initialize' keeps the coordinator diagnosis; only jax's 'must be
+    called before' phrase maps to the call-ordering message."""
+    import pytest
+
+    from minnow_tpu.parallel import distributed
+
+    import jax
+
+    def deadline(**kw):
+        raise RuntimeError(
+            "failed to initialize distributed backend: "
+            "DEADLINE_EXCEEDED")
+
+    monkeypatch.setattr(jax.distributed, "initialize", deadline)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        distributed.init_distributed(
+            coordinator_address="localhost:1", num_processes=2,
+            process_id=0)
 
 
 def test_already_initialized_does_not_touch_backends(monkeypatch):
