@@ -879,13 +879,20 @@ def main():
     # Watchdog: if the relay dies MID-bench a device fetch blocks
     # forever and no except clause runs.  A daemon timer emits the
     # structured error and exits 0 instead of letting the driver's
-    # timeout record another rc!=0 traceback.
+    # timeout record another rc!=0 traceback.  The done-flag + lock
+    # close the completion race: a timer firing while the final result
+    # is being printed must neither discard it nor interleave JSON.
     import threading
     budget_s = float(os.environ.get("MINNOW_TPU_BENCH_BUDGET_S", "4500"))
+    _out_lock = threading.Lock()
+    _done = threading.Event()
 
     def _watchdog():
-        _emit_unavailable("bench_timeout_after_%ds" % int(budget_s))
-        os._exit(0)
+        with _out_lock:
+            if _done.is_set():
+                return  # results are in; let main print them
+            _emit_unavailable("bench_timeout_after_%ds" % int(budget_s))
+            os._exit(0)
 
     watchdog = threading.Timer(budget_s, _watchdog)
     watchdog.daemon = True
@@ -970,15 +977,19 @@ def main():
         detail.update(bench_text_to_minh())
     except Exception as e:  # noqa: BLE001
         detail["text_to_minh_error"] = str(e)[:120]
-    watchdog.cancel()
-    print(json.dumps({
-        "metric": "minh position-column encode+decode throughput/chip "
-                  "(%s, bit-exact validated, slope-based)" % backend,
-        "value": round(combined, 3),
-        "unit": "GB/s",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": detail,
-    }))
+    with _out_lock:
+        _done.set()
+        watchdog.cancel()
+        print(json.dumps({
+            "metric": "minh position-column encode+decode "
+                      "throughput/chip "
+                      "(%s, bit-exact validated, slope-based)" % backend,
+            "value": round(combined, 3),
+            "unit": "GB/s",
+            "vs_baseline": round(vs_baseline, 3) if vs_baseline else
+            None,
+            "detail": detail,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -330,6 +330,19 @@ def convert_files(cfg, idx, types, wanted, files, out_dir,
     threads shrink so jobs x threads stays near the core count."""
     from ..utils import sched
 
+    # distinct inputs sharing a basename (a glob spanning directories)
+    # would write the same output path -- concurrently with jobs > 1,
+    # corrupting it silently; refuse up front
+    outs = {}
+    for f in files:
+        o = out_name(out_dir, f)
+        if o in outs:
+            raise SystemExit(
+                "input files %r and %r both map to output %r; "
+                "convert them into separate output directories"
+                % (outs[o], f, o))
+        outs[o] = f
+
     jobs = max(1, min(jobs, len(files) or 1))
     per_threads = max(1, THREADS // jobs) if jobs > 1 else THREADS
     order = sorted(range(len(files)),

@@ -408,7 +408,7 @@ def dither_hash_u(c, k1, k2):
     x = x ^ (x >> np.uint32(16))
     x = x * np.uint32(0x21F0AAAD)
     x = x ^ (x >> np.uint32(15))
-    x = x * np.uint32(0x735A2D97)
+    x = x * np.uint32(0xD35A2D97)
     x = x ^ (x >> np.uint32(15))
     fb = (x >> np.uint32(9)) | np.uint32(0x3F800000)
     return jax.lax.bitcast_convert_type(fb, jnp.float32) \

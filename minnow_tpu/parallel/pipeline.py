@@ -214,7 +214,11 @@ class BlockEncoder:
         b = rows.shape[0]
         bp = self._pad(b)
         if bp != b:
-            rows = np.pad(np.asarray(rows), [(0, bp - b), (0, 0)])
+            import jax.numpy as jnp
+
+            # jnp.pad keeps device-resident rows on device (np.pad
+            # would round-trip the whole int64 batch through host)
+            rows = jnp.pad(rows, [(0, bp - b), (0, 0)])
             mins = np.pad(mins, (0, bp - b))
             lens = np.pad(lens, (0, bp - b))
         row = P(mesh_lib.BLOCK_AXIS)

@@ -182,72 +182,40 @@ def test_verify_never_crashes_on_corruption(tmp_path, seed):
     assert isinstance(problems, list)
 
 
+def _soak_mod():
+    """The generative kernel-fuzz generators are shared with
+    tools/r3_kernel_fuzz_soak.py (the extended soak drives the SAME
+    input space with more seeds -- one generator, no drift)."""
+    import importlib.util
+    import os as _os
+
+    global _SOAK
+    if _SOAK is None:
+        path = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "tools",
+            "r3_kernel_fuzz_soak.py")
+        spec_ = importlib.util.spec_from_file_location("r3_soak", path)
+        _SOAK = importlib.util.module_from_spec(spec_)
+        spec_.loader.exec_module(_SOAK)
+    return _SOAK
+
+
+_SOAK = None
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_int_pack_kernel_fuzz(seed):
     """Generative fuzz of the int pack kernel (interpret): random
     width, random alignment-padded length, random delta magnitudes and
-    masked tails -- bytes must equal spec.pack_bits exactly."""
-    from minnow_tpu.core import spec
-    from minnow_tpu.ops import bitpack, pallas_encode
-    from minnow_tpu.ops.pallas_codec import group_tiles
-
-    rng = np.random.default_rng(1000 + seed)
-    bits = int(rng.integers(1, 65))
-    g = group_tiles(bits)
-    align = 32 * g * 8
-    mult = int(rng.integers(1, 3))
-    n_pad = align * mult
-    n = int(rng.integers(max(1, n_pad - align // 2), n_pad + 1))
-    bsz = int(rng.integers(1, 4))
-    hi_excl = (1 << bits) - 1 if bits == 64 else (1 << bits)
-    vals = rng.integers(0, hi_excl, (bsz, n), dtype=np.uint64)
-    mins = rng.integers(-(2**40), 2**40, bsz).astype(np.int64)
-    x = vals.view(np.int64) + mins[:, None]
-    lens = rng.integers(0, n + 1, bsz).astype(np.int64)
-    words = np.asarray(pallas_encode.delta_pack_int_pallas(
-        x, mins, lens, bits, n, n_pad, interpret=True))
-    for i in range(bsz):
-        d = np.zeros(n, np.uint64)
-        d[:lens[i]] = (x[i, :lens[i]] - mins[i]).view(np.uint64)
-        ref = spec.pack_bits(d, bits)
-        got = bitpack.words_to_bytes(words[i], bits, n)
-        assert got == ref, (seed, bits, n, i)
+    masked tails -- bytes must equal spec.pack_bits exactly
+    (generator shared with the extended soak)."""
+    _soak_mod().one_int_pack(np.random.default_rng(1000 + seed))
 
 
 @pytest.mark.parametrize("seed", range(6))
 def test_fused_uniform_decode_fuzz(seed):
     """Generative fuzz of the fused uniform decode (interpret): random
     width <= 24, random t_g (crossing the kpb-merge boundary), random
-    quantization configs -- bitwise equal to the XLA path."""
-    from minnow_tpu.core import spec
-    from minnow_tpu.ops import bitpack, codec, pallas_codec
-
-    rng = np.random.default_rng(2000 + seed)
-    bits = int(rng.integers(2, 25))
-    g = pallas_codec.group_tiles(bits)
-    t_g = int(rng.choice([8, 16, 64, 136]))
-    n = 32 * g * t_g
-    bsz = int(rng.integers(1, 4))
-    pixels = min((1 << bits) - 1, (1 << 24) - 1)
-    vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
-    words = np.stack([
-        bitpack.bytes_to_words(spec.pack_bits(v, bits), bits, n)
-        for v in vals])
-    mins = rng.integers(-3, 4, bsz).astype(np.int64)
-    low = rng.uniform(-100, 100, bsz).astype(np.float32)
-    high = (low + rng.uniform(1, 1000, bsz)).astype(np.float32)
-    pix = np.full(bsz, pixels, np.int64)
-    per = rng.integers(0, 2, bsz).astype(bool)
-    ids = rng.integers(0, 1 << 40, bsz).astype(np.int64)
-    sd = int(rng.integers(0, 100))
-    ref = np.asarray(codec.decode_float_blocks32(
-        words, mins, low, high, pix, per, ids, bits, n,
-        dither="uniform", seed=sd))
-    k1, k2 = (np.asarray(k) for k in codec.dither_keys(ids, sd))
-    got = np.asarray(pallas_codec.decode_float_pallas_group(
-        words.reshape(-1, g * bits), mins, low, high, pix, per,
-        bits, n, dither="uniform", interpret=True,
-        key1=k1, key2=k2)).reshape(bsz, n)
-    np.testing.assert_array_equal(
-        ref.view(np.uint32), got.view(np.uint32),
-        err_msg=str((seed, bits, t_g, bsz)))
+    quantization configs -- bitwise equal to the XLA path (generator
+    shared with the extended soak)."""
+    _soak_mod().one_uniform(np.random.default_rng(2000 + seed))

@@ -354,7 +354,8 @@ def test_fused_uniform_decode_bit_identical():
             bits, n, dither="uniform", interpret=True,
             key1=k1, key2=k2)).reshape(bsz, n)
         np.testing.assert_array_equal(ref.view(np.uint32),
-                                      got.view(np.uint32)), t_g
+                                      got.view(np.uint32),
+                                      err_msg="t_g=%d" % t_g)
 
 
 def test_device_reader_uniform_fused_matches_xla(tmp_path):

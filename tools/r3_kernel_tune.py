@@ -12,21 +12,17 @@ harness, see docs/STATUS.md measurement warning):
 """
 
 import json
-import time
+import os
+import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
-def _time(fn, *args, sync, iters=3, reps=5):
-    np.asarray(sync(fn(*args)))
-    np.asarray(sync(fn(*args)))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            np.asarray(sync(fn(*args)))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+# one timing harness: bench.py's _time (per-rep distribution, tunnel
+# spike rejection) + _safe_slope (noise guard when t2 <= t1)
+from bench import _safe_slope, _time  # noqa: E402
 
 
 def _slope(fn, make_args, b1, b2, sync):
@@ -34,8 +30,7 @@ def _slope(fn, make_args, b1, b2, sync):
     a2, by2 = make_args(b2)
     t1 = _time(fn, *a1, sync=sync)
     t2 = _time(fn, *a2, sync=sync)
-    dt = t2 - t1
-    return (by2 - by1) / 1e9 / dt if dt > 1e-6 else float("nan")
+    return _safe_slope(by1, by2, t1, t2)
 
 
 def main():
