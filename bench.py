@@ -811,21 +811,58 @@ def bench_native_baseline(n=1 << 22):
     return x.nbytes / 1e9 / best
 
 
-def _emit_unavailable(reason):
-    """Emit the one structured JSON line for a run where the TPU backend
-    never came up, and exit 0 so the driver records a parseable result
-    instead of a traceback (the round-2 failure mode: BENCH_r02.json was
-    rc=1/parsed=null because backend init raised unguarded)."""
+_METRIC = ("minh position-column encode+decode throughput/chip "
+           "(bit-exact validated, slope-based)")
+
+# Incremental result state (VERDICT r3 weak #2): every section writes its
+# numbers here the moment it finishes, so a watchdog or deadline emission
+# mid-run ships PARTIAL RESULTS ("partial": true) instead of value=null.
+# Rounds 2 and 3 both lost all their data to end-only emission.
+_PARTIAL = {
+    "value": None,          # headline combined GB/s (provisional, updated)
+    "vs_baseline": None,
+    "detail": {},           # flat detail dict, grown section by section
+    "stage": "start",       # where the run was when emission happened
+}
+_T0 = time.monotonic()      # process-entry clock: the budget covers
+                            # probe AND bench (ADVICE r3 bench.py:864)
+_BUDGET_S = float(os.environ.get("MINNOW_TPU_BENCH_BUDGET_S", "1140"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit(partial, error=None):
+    """Print the ONE structured JSON line from current _PARTIAL state.
+
+    Called exactly once per process -- by main() on completion, by the
+    watchdog on budget expiry, or by the probe path on backend failure.
+    Always includes whatever detail has accumulated, so a run that got
+    through the headline slopes but timed out in the long tail still
+    records its encode/decode numbers (the round-3 failure mode:
+    BENCH_r03.json rc=124 with an empty tail)."""
     import sys
-    print(json.dumps({
-        "metric": "minh position-column encode+decode throughput/chip "
-                  "(bit-exact validated, slope-based)",
-        "value": None,
+    backend = _PARTIAL.get("metric_backend")
+    metric = (_METRIC if backend is None else
+              "minh position-column encode+decode throughput/chip "
+              "(%s, bit-exact validated, slope-based)" % backend)
+    rec = {
+        "metric": metric,
+        "value": _PARTIAL["value"],
         "unit": "GB/s",
-        "vs_baseline": None,
-        "error": reason,
-    }), flush=True)
-    # the watchdog path follows this with os._exit(0), which skips
+        "vs_baseline": _PARTIAL["vs_baseline"],
+    }
+    if _PARTIAL["detail"]:
+        rec["detail"] = _PARTIAL["detail"]
+    if partial:
+        rec["partial"] = True
+        rec["stage"] = _PARTIAL["stage"]
+        rec["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    if error:
+        rec["error"] = error
+    print(json.dumps(rec), flush=True)
+    # watchdog paths follow this with os._exit(0), which skips
     # interpreter exit flushing -- an unflushed line in a piped stdout
     # would reproduce the empty-output failure this exists to prevent
     sys.stdout.flush()
@@ -857,33 +894,37 @@ def _probe_backend(timeout_s):
     return None
 
 
+def _update_headline():
+    """Recompute the provisional combined headline from current detail."""
+    d = _PARTIAL["detail"]
+    enc = d.get("encode_GBps")
+    dec = d.get("decode_GBps")
+    if not enc or not dec:
+        return
+    combined = 2.0 / (1.0 / enc + 1.0 / dec)
+    _PARTIAL["value"] = round(combined, 3)
+    base = d.get("native_single_core_GBps")
+    _PARTIAL["vs_baseline"] = round(combined / base, 3) if base else None
+
+
 def main():
     # Bounded-retry backend probe (subprocess, killable) BEFORE any
     # in-process jax call: survives both the backend-raises case
-    # (round 2's rc=1) and the backend-hangs case.
-    attempts = int(os.environ.get("MINNOW_TPU_BENCH_ATTEMPTS", "5"))
+    # (round 2's rc=1) and the backend-hangs case (rounds 2-3 outage).
+    # Budget accounting starts at process entry (_T0): with defaults the
+    # outage path emits within ~2x90s+5s ~= 3 min, and the whole run --
+    # probe included -- fits inside _BUDGET_S (default 19 min), well
+    # under the driver's clock (round 3 died at the driver timeout with
+    # a 39-minute probe phase that started the watchdog too late).
+    attempts = int(os.environ.get("MINNOW_TPU_BENCH_ATTEMPTS", "2"))
     probe_timeout = float(os.environ.get(
-        "MINNOW_TPU_BENCH_PROBE_TIMEOUT", "420"))
-    backoff = float(os.environ.get("MINNOW_TPU_BENCH_BACKOFF", "60"))
-    backend = None
-    for i in range(attempts):
-        backend = _probe_backend(probe_timeout)
-        if backend is not None:
-            break
-        if i < attempts - 1:
-            time.sleep(backoff)
-    if backend is None:
-        _emit_unavailable("tpu_unavailable")
-        return
+        "MINNOW_TPU_BENCH_PROBE_TIMEOUT", "90"))
+    backoff = float(os.environ.get("MINNOW_TPU_BENCH_BACKOFF", "5"))
 
-    # Watchdog: if the relay dies MID-bench a device fetch blocks
-    # forever and no except clause runs.  A daemon timer emits the
-    # structured error and exits 0 instead of letting the driver's
-    # timeout record another rc!=0 traceback.  The done-flag + lock
-    # close the completion race: a timer firing while the final result
-    # is being printed must neither discard it nor interleave JSON.
+    # Watchdog armed at process entry: if ANYTHING (probe subprocess
+    # bookkeeping, backend init race, a mid-bench relay death) blocks
+    # past the budget, emit whatever partial results exist and exit 0.
     import threading
-    budget_s = float(os.environ.get("MINNOW_TPU_BENCH_BUDGET_S", "4500"))
     _out_lock = threading.Lock()
     _done = threading.Event()
 
@@ -891,13 +932,31 @@ def main():
         with _out_lock:
             if _done.is_set():
                 return  # results are in; let main print them
-            _emit_unavailable("bench_timeout_after_%ds" % int(budget_s))
+            _emit(partial=True,
+                  error="bench_timeout_after_%ds" % int(_BUDGET_S))
             os._exit(0)
 
-    watchdog = threading.Timer(budget_s, _watchdog)
+    watchdog = threading.Timer(max(_remaining() - 20.0, 5.0), _watchdog)
     watchdog.daemon = True
     watchdog.start()
 
+    _PARTIAL["stage"] = "probe"
+    backend = None
+    for i in range(attempts):
+        t = min(probe_timeout, max(_remaining() - 30.0, 5.0))
+        backend = _probe_backend(t)
+        if backend is not None:
+            break
+        if i < attempts - 1 and _remaining() > backoff + 30.0:
+            time.sleep(backoff)
+    if backend is None:
+        with _out_lock:
+            _done.set()
+            watchdog.cancel()
+            _emit(partial=False, error="tpu_unavailable")
+        return
+
+    _PARTIAL["stage"] = "backend_init"
     import jax
 
     # Persistent compile cache: axon remote compiles run ~1-3 min per
@@ -909,8 +968,27 @@ def main():
     try:
         backend = jax.default_backend()
     except Exception as e:  # noqa: BLE001 - probe passed but init raced
-        _emit_unavailable("tpu_unavailable: %s" % str(e)[:160])
+        with _out_lock:
+            _done.set()
+            watchdog.cancel()
+            _emit(partial=False,
+                  error="tpu_unavailable: %s" % str(e)[:160])
         return
+    detail = _PARTIAL["detail"]
+    detail["device"] = str(jax.devices()[0])
+    _PARTIAL["metric_backend"] = backend
+
+    # Host-side native baseline first: cheap (~seconds, no jax), and it
+    # makes vs_baseline computable the moment the headline slopes land.
+    _PARTIAL["stage"] = "native_baseline"
+    try:
+        base = bench_native_baseline()
+        if base:
+            detail["native_single_core_GBps"] = round(base, 3)
+    except Exception as e:  # noqa: BLE001 - baseline is best-effort
+        detail["native_baseline_error"] = str(e)[:120]
+
+    _PARTIAL["stage"] = "validate"
     from minnow_tpu.ops import validate
 
     report = validate.validate_backend()
@@ -918,18 +996,21 @@ def main():
     # the full validation suite strictly subsumes the per-process
     # one-shot kernel self-check; skip it for the rest of this run
     os.environ["MINNOW_TPU_PALLAS_SELFCHECK"] = "0"
-    val_notes = {}
     # kernel-path validation failures disable that path (env kill
     # switches honored by production readers/encoders and every bench
     # section) and are reported -- the bench then times the XLA paths
     if report.get("pallas_encode") not in (True, None):
         os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
-        val_notes["pallas_encode_validation"] = report["pallas_encode"]
+        detail["pallas_encode_validation"] = report["pallas_encode"]
     if report.get("pallas_group") not in (True, None):
         os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
         os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
-        val_notes["pallas_group_validation"] = report["pallas_group"]
+        detail["pallas_group_validation"] = report["pallas_group"]
 
+    # Headline slopes FIRST (VERDICT r3 next #1c): if the budget dies
+    # anywhere past this point, the partial record still has the
+    # encode/decode numbers the whole artifact exists to capture.
+    _PARTIAL["stage"] = "bench_device"
     try:
         enc_gbs, dec_gbs, gb, extra = bench_device()
     except AssertionError as e:
@@ -937,59 +1018,54 @@ def main():
         # validation suite missed: disable the kernels, re-run XLA-only
         os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
         os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
-        val_notes["pallas_disabled_after"] = str(e)[:200]
+        detail["pallas_disabled_after"] = str(e)[:200]
         enc_gbs, dec_gbs, gb, extra = bench_device()
-    extra.update(val_notes)
-    try:
-        big = bench_big_blocks()
-        extra.update(big)
-        enc_gbs = max(enc_gbs, big.get("encode_xla_bigblock_GBps", 0),
-                      big.get("encode_pallas_bigblock_GBps", 0))
-        dec_gbs = max(dec_gbs,
-                      big.get("decode_pallas_group_bigblock_GBps", 0))
-    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
-        extra["bigblock_error"] = str(e)[:120]
-    combined = 2 * gb / (gb / enc_gbs + gb / dec_gbs)
-
-    base = bench_native_baseline()
-    vs_baseline = combined / base if base else None
-
-    detail = {
-        "encode_GBps": round(enc_gbs, 3),
-        "decode_GBps": round(dec_gbs, 3),
-        "native_single_core_GBps": round(base, 3) if base else None,
-        "device": str(jax.devices()[0]),
-    }
     detail.update(extra)
-    try:
-        detail.update(bench_sustained())
-    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
-        detail["sustained_error"] = str(e)[:120]
-    try:
-        detail.update(bench_pallas_encode())
-    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
-        detail["pallas_encode_error"] = str(e)[:120]
-    try:
-        detail.update(bench_extra_configs())
-    except Exception as e:  # noqa: BLE001 - secondary configs are best-effort
-        detail["extra_configs_error"] = str(e)[:120]
-    try:
-        detail.update(bench_text_to_minh())
-    except Exception as e:  # noqa: BLE001
-        detail["text_to_minh_error"] = str(e)[:120]
+    detail["encode_GBps"] = round(enc_gbs, 3)
+    detail["decode_GBps"] = round(dec_gbs, 3)
+    _update_headline()
+
+    _PARTIAL["stage"] = "bench_big_blocks"
+    if _remaining() > 150.0:
+        try:
+            big = bench_big_blocks()
+            detail.update(big)
+            enc_gbs = max(enc_gbs,
+                          big.get("encode_xla_bigblock_GBps", 0),
+                          big.get("encode_pallas_bigblock_GBps", 0))
+            dec_gbs = max(
+                dec_gbs,
+                big.get("decode_pallas_group_bigblock_GBps", 0))
+            detail["encode_GBps"] = round(enc_gbs, 3)
+            detail["decode_GBps"] = round(dec_gbs, 3)
+            _update_headline()
+        except Exception as e:  # noqa: BLE001 - secondary, best-effort
+            detail["bigblock_error"] = str(e)[:120]
+    else:
+        detail.setdefault("skipped_sections", []).append("big_blocks")
+
+    # Long tail: each section is optional, budget-gated, and lands its
+    # numbers in detail immediately on completion.
+    for name, fn, min_s in (
+        ("sustained", bench_sustained, 180.0),
+        ("pallas_encode", bench_pallas_encode, 120.0),
+        ("extra_configs", bench_extra_configs, 150.0),
+        ("text_to_minh", bench_text_to_minh, 120.0),
+    ):
+        _PARTIAL["stage"] = "bench_" + name
+        if _remaining() <= min_s:
+            detail.setdefault("skipped_sections", []).append(name)
+            continue
+        try:
+            detail.update(fn())
+        except Exception as e:  # noqa: BLE001 - secondary, best-effort
+            detail["%s_error" % name] = str(e)[:120]
+
+    _PARTIAL["stage"] = "done"
     with _out_lock:
         _done.set()
         watchdog.cancel()
-        print(json.dumps({
-            "metric": "minh position-column encode+decode "
-                      "throughput/chip "
-                      "(%s, bit-exact validated, slope-based)" % backend,
-            "value": round(combined, 3),
-            "unit": "GB/s",
-            "vs_baseline": round(vs_baseline, 3) if vs_baseline else
-            None,
-            "detail": detail,
-        }), flush=True)
+        _emit(partial=False)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,9 @@ def main(argv=None):
     device = "--device" in argv
     if device:
         argv.remove("--device")
+        from ..utils import backend_guard
+
+        device = backend_guard.device_or_host(device)
     if not argv:
         raise SystemExit(__doc__)
     r = minh.open(argv[0], dither="none")

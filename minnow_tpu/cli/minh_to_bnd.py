@@ -87,6 +87,9 @@ def main(argv=None):
     device = "--device" in argv
     if device:
         argv.remove("--device")
+        from ..utils import backend_guard
+
+        device = backend_guard.device_or_host(device)
     if len(argv) != 4:
         raise SystemExit(__doc__)
     cells = int(argv[0])

@@ -366,6 +366,9 @@ def main(argv=None):
     device = "--device" in argv
     if device:
         argv.remove("--device")
+        from ..utils import backend_guard
+
+        device = backend_guard.device_or_host(device)
     block_size = None
     jobs = 1
     for a in list(argv):

@@ -379,10 +379,16 @@ def decode_int_blocks_group(words2d, mins, bits: int, n: int,
 
 def dither_keys(block_ids, seed):
     """Per-block device-dither keys: full jax-threefry ``fold_in`` of
-    ``(seed, block_id)`` -- the key schedule stays cryptographic-grade
-    (block streams are arbitrary functions of the id); only the
-    per-ELEMENT mixing uses the cheap counter hash below.  Returns
-    (k1, k2) uint32 (B,) arrays."""
+    ``(seed, block_id)`` -- the key schedule itself is cryptographic-
+    grade; only the per-ELEMENT mixing uses the cheap counter hash
+    below.  Because that hash mixes ``(c + k2) ^ k1``, two blocks that
+    collide on k1 (expected ~B^2/2^33 pairs by birthday -- hundreds at
+    ~2^20 blocks) have streams that are exact counter-TRANSLATES of
+    each other, so block streams are not fully independent functions
+    of the id.  Harmless for the |x - x_hat| <= dx contract (each
+    element's draw is still uniform); callers needing cross-block
+    stream independence should use the host (Philox) read path.
+    Returns (k1, k2) uint32 (B,) arrays."""
     base = jax.random.PRNGKey(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(block_ids)
     return keys[:, 0], keys[:, 1]

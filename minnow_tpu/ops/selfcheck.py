@@ -11,9 +11,12 @@ written files and bulk reads for any library/CLI user.
 So: on the FIRST auto-selection of a kernel family in a process, run a
 tiny spec-vs-kernel byte comparison on the live backend, cache the
 verdict, and make the caller fall back to the (always-validated) XLA
-path on failure.  Cost is two small jit graphs per family, once per
-process; with the persistent compile cache this is sub-second on a
-local chip.
+path on failure.  Cost is a few small jit graphs per family, once per
+process: sub-second on a warm persistent compile cache (kernel_ok
+configures one via utils/backend_guard.ensure_compile_cache if the
+user hasn't), but a cold cache on a remote-compile TPU setup pays
+1-3 min per graph on first use -- ``MINNOW_TPU_PALLAS_SELFCHECK=0``
+is the escape hatch if that latency is unacceptable.
 
 ``MINNOW_TPU_PALLAS_SELFCHECK=0`` skips the check (bench.py sets it
 after running the full validation suite, which strictly subsumes these
@@ -209,6 +212,9 @@ def kernel_ok(family: str, interpret: bool = False) -> bool:
         with _LOCK:
             verdict = _VERDICTS.get(key)
             if verdict is None:
+                from ..utils import backend_guard
+
+                backend_guard.ensure_compile_cache()
                 try:
                     _CHECKS[family](interpret)
                     verdict = True

@@ -263,11 +263,14 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
 
     # fused decode vs the XLA decode, bitwise -- both kernel paths:
     # t_g=8 engages the multi-block-per-instance variant (kpb=4 here),
-    # t_g=128 the per-block variant
-    bits = 18
-    g = pallas_codec.group_tiles(bits)
-    pixels = 250000
-    for t_g, bsz in ((8, 4), (128, 2)):
+    # t_g=128 the per-block variant.  bits=11 adds a NON-flagship width
+    # class (different _tile_step => a separately compiled Mosaic
+    # program) to the on-chip gate: production widths are data-
+    # determined, and width-specific Mosaic miscompiles have been
+    # observed on real silicon (ADVICE r3 validate.py:310).
+    for bits, t_g, bsz in ((18, 8, 4), (18, 128, 2), (11, 8, 4)):
+        g = pallas_codec.group_tiles(bits)
+        pixels = 250000 if bits == 18 else 2000
         n = 32 * g * t_g
         vals = rng.integers(0, pixels, (bsz, n), dtype=np.uint64)
         words = np.stack([
@@ -316,7 +319,8 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
                               fused_u.view(np.uint32)):
             raise AssertionError("fused uniform decode diverges from "
                                  "XLA decode at t_g=%d" % t_g)
-    n, bsz = 32 * g * 8, 4  # the encode check below reuses this shape
+    g = pallas_codec.group_tiles(18)  # encode check runs at flagship width
+    n, bsz = 32 * g * 8, 4
 
     # fused group encode vs host spec bytes
     lowf, highf, dx = 0.0, 250.0, 0.001

@@ -81,6 +81,19 @@ class BlockEncoder:
     differs) is re-encoded through the XLA/host path."""
 
     def __init__(self, mesh=None, pallas="auto"):
+        # Bounded backend wait: through a half-dead TPU tunnel, backend
+        # init hangs forever with no exception to catch; fail fast with
+        # a clear error instead so callers can take the host codec path
+        # (the --device CLIs downgrade via device_or_host before ever
+        # constructing one of these).
+        from ..utils import backend_guard
+
+        if backend_guard.probe() is None:
+            raise backend_guard.BackendUnavailableError(
+                "JAX backend init did not complete within the probe "
+                "timeout; use the host codec path or raise "
+                "MINNOW_TPU_BACKEND_PROBE_TIMEOUT")
+        backend_guard.ensure_compile_cache()
         self.mesh = mesh
         self.pallas = pallas
 

@@ -8,8 +8,9 @@ byte-identical to a plain single-process host minh write of the full
 catalog (the ordered multi-host writer contract, process-major global
 block order, ref go/block_index.go:16-23).
 
-Usage (the test suite drives this; manual run):
-  python tools/multiprocess_gather_check.py
+Usage (tests/test_distributed.py drives the 2-process variant every
+suite run; manual 4-process run):
+  python tools/multiprocess_gather_check.py [--procs=N]
 """
 
 from __future__ import annotations
@@ -20,12 +21,27 @@ import subprocess
 import sys
 import tempfile
 
-NUM_PROCS = 4
-# global row-blocks (ragged sizes), dealt process-major: [2, 1, 1, 1]
+# global row-blocks (ragged sizes), dealt process-major and contiguous
+# (gather_blocks returns process-major order, so ownership must be a
+# contiguous split for gathered index == global block index)
 BLOCK_SIZES = [61, 48, 64, 33, 57]
-OWNERS = [0, 0, 1, 2, 3]
 L, EPS = 100.0, 0.01
 MVIR_LO, MVIR_HI = 1e9, 1e15
+
+
+def owner_counts(num_procs: int) -> list[int]:
+    """Contiguous split of the row-blocks, earlier processes taking the
+    remainder -- always UNEQUAL counts for num_procs in {2, 3, 4}."""
+    n = len(BLOCK_SIZES)
+    base, rem = divmod(n, num_procs)
+    return [base + (1 if i < rem else 0) for i in range(num_procs)]
+
+
+def owners(num_procs: int) -> list[int]:
+    out = []
+    for p, c in enumerate(owner_counts(num_procs)):
+        out.extend([p] * c)
+    return out
 
 
 def make_catalog():
@@ -87,7 +103,8 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
 
     blocks = make_catalog()
     names, cols = minh_cols()
-    mine = [i for i, o in enumerate(OWNERS) if o == process_id]
+    ow = owners(num)
+    mine = [i for i, o in enumerate(ow) if o == process_id]
 
     be = BlockEncoder()
 
@@ -148,7 +165,7 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
         with open(out_file, "wb") as f:
             pickle.dump({"mp_file": mp_file,
                          "counts": [len(m) for m in [
-                             [i for i, o in enumerate(OWNERS) if o == p]
+                             [i for i, o in enumerate(ow) if o == p]
                              for p in range(num)]]}, f)
 
     # ---- sharded READ-BACK (the decode direction of the distributed
@@ -181,8 +198,14 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
         f.write("ok" if ok else "MISMATCH")
 
 
-def main() -> int:
-    port = 52123
+def main(num_procs: int = 4) -> int:
+    # bind-then-release a free port: a fixed port collides when the
+    # suite-driven 2-process run and a manual run overlap
+    import socket
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
     out_file = tempfile.mktemp(suffix=".pkl")
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -190,8 +213,8 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker",
-             str(i), str(NUM_PROCS), str(port), out_file], env=env)
-        for i in range(NUM_PROCS)
+             str(i), str(num_procs), str(port), out_file], env=env)
+        for i in range(num_procs)
     ]
     rc = 0
     for p in procs:
@@ -206,14 +229,14 @@ def main() -> int:
 
     with open(out_file, "rb") as f:
         got = pickle.load(f)
-    assert got["counts"] == [2, 1, 1, 1], got["counts"]
+    assert got["counts"] == owner_counts(num_procs), got["counts"]
 
     ref_file = out_file + ".ref.minh"
     write_host_minh(ref_file, make_catalog())
     mp_bytes = open(got["mp_file"], "rb").read()
     ref_bytes = open(ref_file, "rb").read()
     assert mp_bytes == ref_bytes, "multiprocess minh differs from host"
-    for p in range(NUM_PROCS):
+    for p in range(num_procs):
         with open(out_file + ".dec%d" % p) as f:
             assert f.read() == "ok", \
                 "sharded decode mismatch on process %d" % p
@@ -221,7 +244,7 @@ def main() -> int:
           "%s, ragged lens, coordinator-written minh byte-identical to "
           "a single-process host write (%d bytes); sharded read-back "
           "bit-exact on every process"
-          % (NUM_PROCS, got["counts"], len(mp_bytes)))
+          % (num_procs, got["counts"], len(mp_bytes)))
     return 0
 
 
@@ -230,4 +253,8 @@ if __name__ == "__main__":
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
                sys.argv[5])
     else:
-        sys.exit(main())
+        n = 4
+        for a in sys.argv[1:]:
+            if a.startswith("--procs="):
+                n = int(a.split("=", 1)[1])
+        sys.exit(main(n))
