@@ -157,6 +157,25 @@ def _bench_shape(b, n, bits, low, high, dx):
         assert np.array_equal(np.asarray(mg),
                               np.asarray(mins).astype(np.int32))
 
+        # column-constant specialization A/B (round-3 open experiment):
+        # same kernel with the per-column scalars compiled in
+        cfg = (float(low), int(db[0]), int(deb[0]), int(dm0[0]),
+               int(dm1[0]), int(pixels), True)
+
+        def encode_pgc(x2d, lowv, db, deb, dm0, dm1, pixv, per):
+            return pallas_encode.encode_float_pallas_group(
+                x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n,
+                const_cfg=cfg)
+
+        t_pgec = _time(encode_pgc, *pge_args, sync=lambda o: o[1])
+        wc, mc, _, vc = encode_pgc(*pge_args)
+        assert bool(eq(wc, wg)), \
+            "const-specialized encode words diverged on chip"
+        assert np.array_equal(np.asarray(mc), np.asarray(mg))
+        assert np.array_equal(np.asarray(vc), np.asarray(vg))
+    else:
+        t_pgec = None
+
     # group-aligned fused Pallas decode (the production bulk-read path).
     # Takes the aligned (M, G*bits) words view -- a free reshape where
     # the words live in production (host file buffers).
@@ -177,7 +196,7 @@ def _bench_shape(b, n, bits, low, high, dx):
         xg = decode_pg(*pg_args)
         assert bool(eq(xg.reshape(b, n), xhat)), \
             "group decode diverged from XLA decode on chip"
-    return t_enc, t_dec, t_pge, t_pg, x.nbytes
+    return t_enc, t_dec, t_pge, t_pg, x.nbytes, t_pgec
 
 
 def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
@@ -192,10 +211,10 @@ def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
     the same kernel; the 16x block-count spread at fixed n keeps the
     large point well clear of the floor for every path."""
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
-    te1, td1, tpe1, tp1, by1 = _bench_shape(b_small, n_blk, bits, low,
-                                            high, dx)
-    te2, td2, tpe2, tp2, by2 = _bench_shape(b_large, n_blk, bits, low,
-                                            high, dx)
+    te1, td1, tpe1, tp1, by1, tpec1 = _bench_shape(b_small, n_blk, bits,
+                                                   low, high, dx)
+    te2, td2, tpe2, tp2, by2, tpec2 = _bench_shape(b_large, n_blk, bits,
+                                                   low, high, dx)
     enc_xla = _safe_slope(by1, by2, te1, te2)
     dec_xla = _safe_slope(by1, by2, td1, td2)
     extra = {
@@ -215,6 +234,12 @@ def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
             _safe_slope(by1, by2, tpe1.med, tpe2.med), 3)
         extra["encode_pallas_group_rep_spread"] = round(tpe2.spread, 2)
         enc_gbs = max(enc_gbs, enc_pg)
+    if tpec1 is not None and tpec2 is not None:
+        enc_pgc = _safe_slope(by1, by2, tpec1, tpec2)
+        extra["encode_pallas_const_GBps"] = round(enc_pgc, 3)
+        extra["encode_pallas_const_GBps_med"] = round(
+            _safe_slope(by1, by2, tpec1.med, tpec2.med), 3)
+        enc_gbs = max(enc_gbs, enc_pgc)
     if tp1 is not None and tp2 is not None:
         dec_pg = _safe_slope(by1, by2, tp1, tp2)
         extra["decode_pallas_group_GBps"] = round(dec_pg, 3)

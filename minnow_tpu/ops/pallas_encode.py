@@ -477,7 +477,7 @@ def _encode_kernel_group(bits: int, G: int, cs: int, kpb: int,
                          t_g: int, x_ref, low_ref,
                          b_ref, eb_ref, m0_ref, m1_ref, pix_ref,
                          per_ref, w_ref, mn_ref, maxd_ref, valid_ref,
-                         q_scr, qt_scr, wt_scr):
+                         q_scr, qt_scr, wt_scr, cfg=None):
     """Encode ``kpb`` consecutive blocks per grid instance (static
     unroll; block u occupies rows [u*t_g, (u+1)*t_g) of the refs and
     reuses the (t_g, G*32) quantize scratch).  Merging exists because
@@ -490,19 +490,43 @@ def _encode_kernel_group(bits: int, G: int, cs: int, kpb: int,
                             i * jnp.int32(kpb) + jnp.int32(u),
                             x_ref, low_ref, b_ref, eb_ref, m0_ref,
                             m1_ref, pix_ref, per_ref, w_ref, mn_ref,
-                            maxd_ref, valid_ref, q_scr, qt_scr, wt_scr)
+                            maxd_ref, valid_ref, q_scr, qt_scr, wt_scr,
+                            cfg=cfg)
 
 
 def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
                         i, x_ref, low_ref,
                         b_ref, eb_ref, m0_ref, m1_ref, pix_ref,
                         per_ref, w_ref, mn_ref, maxd_ref, valid_ref,
-                        q_scr, qt_scr, wt_scr):
+                        q_scr, qt_scr, wt_scr, cfg=None):
     """One block's fused encode: rows [ro, ro+t_g) of x_ref/w_ref,
-    scalar index ``i`` (traced), scratch indexed from row 0."""
+    scalar index ``i`` (traced), scratch indexed from row 0.
+
+    ``cfg`` (column-constant specialization, the round-3 open encode
+    experiment): a static ``(low, b, eb, m0, m1, pixels, periodic)``
+    tuple baking the per-column scalars into the compiled program --
+    the SMEM scalar refs are then None.  Same arithmetic on constant
+    operands (the only f32 op, ``x - low``, rounds identically), so
+    bytes are unchanged; what it buys is Mosaic constant-folding in
+    the quantizer chain plus STATIC periodic handling (the recenter
+    selects and the valid/min/max periodic muxes drop out of the
+    per-element path entirely for non-periodic columns)."""
     steps = jnp.int32(t_g // cs)
     zero = jnp.int32(0)
-    p = pix_ref[i]
+    if cfg is None:
+        p = pix_ref[i]
+        low_s, b_s, eb_s, m0_s, m1_s = (low_ref[i], b_ref[i], eb_ref[i],
+                                        m0_ref[i], m1_ref[i])
+        per_static = None
+    else:
+        low_c, b_c, eb_c, m0_c, m1_c, pix_c, per_c = cfg
+        p = jnp.int32(pix_c)
+        low_s = np.float32(low_c)
+        b_s = np.uint32(b_c)
+        eb_s = np.int32(eb_c)
+        m0_s = np.uint32(m0_c)
+        m1_s = np.uint32(m1_c)
+        per_static = bool(per_c)
     bc = jax.lax.bitcast_convert_type
 
     # pass 1: quantize -> scratch, with the periodic-distance stats
@@ -512,9 +536,9 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
     # chunks: full lane occupancy, unlike the (chunk, 32) layout above.
     def quant_chunk(c):
         xc = x_ref[pl.ds(np.int32(ro) + c * np.int32(cs), cs), :]
-        diff = xc - low_ref[i]           # f32 sub, exact per spec
-        qc, exact = _quantize_limb(diff, b_ref[i], eb_ref[i],
-                                   m0_ref[i], m1_ref[i], slim=True)
+        diff = xc - low_s                # f32 sub, exact per spec
+        qc, exact = _quantize_limb(diff, b_s, eb_s, m0_s, m1_s,
+                                   slim=True)
         q_scr[pl.ds(c * np.int32(cs), cs), :] = qc
         return qc, jnp.min(exact.astype(jnp.int32))
 
@@ -552,11 +576,15 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
     m = x0 + ymin
     m = jnp.where(m < zero, m + p, m)
     m = jnp.where(small, m, zero)
-    per = per_ref[i] != zero
+    per = (per_ref[i] != zero) if per_static is None else None
 
     def recenter(qc):
+        if per_static is False:
+            return qc
         qb = qc + jnp.where(qc < m, p, zero)
         qb = qb - jnp.where(qb >= m + p, p, zero)
+        if per_static is True:
+            return qb
         return jnp.where(per, qb, qc)
 
     # recentered min/max without a third sweep (spec.periodic_min_fast
@@ -564,7 +592,10 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
     # the greedy result is 0, recenter is the identity on in-range q;
     # non-periodic -> identity.  (Out-of-range blocks are flagged
     # invalid and re-encoded on host, so their stats don't matter.)
-    shifted = per & small
+    if per_static is None:
+        shifted = per & small
+    else:
+        shifted = small if per_static else jnp.bool_(False)
     mn = jnp.where(shifted, m, qmin)
     mx = jnp.where(shifted, m + wwin - jnp.int32(1), qmax)
 
@@ -599,7 +630,13 @@ def _encode_group_block(bits: int, G: int, cs: int, t_g: int, ro: int,
 
     mn_ref[i] = mn
     maxd_ref[i] = mx - mn
-    valid_ref[i] = ((in_range | ~per) & all_exact).astype(jnp.int32)
+    if per_static is None:
+        ok = (in_range | ~per) & all_exact
+    elif per_static:
+        ok = in_range & all_exact
+    else:
+        ok = all_exact
+    valid_ref[i] = ok.astype(jnp.int32)
 
 
 def supported_pack_enc(bits: int, n: int, pixels_max: int) -> bool:
@@ -886,17 +923,26 @@ def delta_pack_int_pallas(x, mins, lens, bits: int, n: int, n_pad: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
-                                             "rows", "kpb_cap", "psem"))
+                                             "rows", "kpb_cap", "psem",
+                                             "const_cfg"))
 def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
                               bits: int, n: int, interpret: bool = False,
                               rows: int = 0, kpb_cap: int = 128,
-                              psem: bool = False):
+                              psem: bool = False, const_cfg=None):
     """Group-aligned fused encode: (B*t/G, G*32) float32 (row-major
     identical to (B, n)) -> ((B*t/G, G*bits) words, mins, maxd, valid).
 
     Same contract as :func:`encode_float_pallas` -- the words rows are
     the aligned 2-D view of the (B, t*bits) stream (free host reshape).
-    """
+
+    ``const_cfg``: optional static ``(low, b, eb, m0, m1, pixels,
+    periodic)`` tuple of Python scalars -- the column-constant
+    specialization (all blocks of a minh column share these): the seven
+    SMEM scalar operands disappear and the quantizer/periodic logic
+    compiles against constants (see _encode_group_block).  The traced
+    scalar arrays are then ignored except for the block count; bytes
+    are identical either way (same arithmetic on constant operands;
+    certified alongside the generic kernel by ops/validate)."""
     from .pallas_codec import group_tiles
 
     g = group_tiles(bits)
@@ -931,12 +977,34 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
     if psem and not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel",))
+    if const_cfg is not None:
+        def kern(x_ref, w_ref, mn_ref, maxd_ref, valid_ref,
+                 q_scr, qt_scr, wt_scr):
+            _encode_kernel_group(
+                bits, g, cs, kpb, t_g, x_ref, None, None, None, None,
+                None, None, None, w_ref, mn_ref, maxd_ref, valid_ref,
+                q_scr, qt_scr, wt_scr, cfg=const_cfg)
+        in_specs = [pl.BlockSpec((kpb * t_g, ge),
+                                 lambda i: (i, np.int32(0)))]
+        args = (x2d,)
+    else:
+        kern = functools.partial(_encode_kernel_group, bits, g, cs,
+                                 kpb, t_g)
+        in_specs = [pl.BlockSpec((kpb * t_g, ge),
+                                 lambda i: (i, np.int32(0)))] \
+            + [scalar] * 7
+        args = (x2d,
+                low.astype(jnp.float32),
+                b.astype(jnp.uint32),
+                eb.astype(jnp.int32),
+                m0.astype(jnp.uint32),
+                m1.astype(jnp.uint32),
+                pixels.astype(jnp.int32),
+                periodic.astype(jnp.int32))
     out = pl.pallas_call(
-        functools.partial(_encode_kernel_group, bits, g, cs, kpb, t_g),
+        kern,
         grid=(bsz // kpb,),
-        in_specs=[pl.BlockSpec((kpb * t_g, ge),
-                               lambda i: (i, np.int32(0)))]
-        + [scalar] * 7,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((kpb * t_g, gw), lambda i: (i, np.int32(0))),
             scalar,
@@ -954,14 +1022,7 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
                         pltpu.VMEM((gw, cs), jnp.int32)],
         interpret=interpret,
         **kwargs,
-    )(x2d,
-      low.astype(jnp.float32),
-      b.astype(jnp.uint32),
-      eb.astype(jnp.int32),
-      m0.astype(jnp.uint32),
-      m1.astype(jnp.uint32),
-      pixels.astype(jnp.int32),
-      periodic.astype(jnp.int32))
+    )(*args)
     words, mins, maxd, valid = out
     return (words, mins.astype(jnp.int64), maxd.astype(jnp.int64),
             valid != 0)

@@ -350,6 +350,20 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
         raise AssertionError("group encode kpb=1 and merged paths "
                              "disagree")
 
+    # column-constant specialization: identical output words/stats
+    # (this on-chip pass is what lets production enable const_cfg)
+    cfg = (float(lowf), int(db[0]), int(deb[0]), int(dm0[0]),
+           int(dm1[0]), int(pixels), True)
+    wc, mnc, maxdc, vc = (np.asarray(a) for a in
+                          pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=interpret, const_cfg=cfg))
+    if not (np.array_equal(wc, words) and np.array_equal(mnc, mn_)
+            and np.array_equal(maxdc, maxd)
+            and np.array_equal(vc, valid)):
+        raise AssertionError("const-specialized group encode diverges "
+                             "from the generic kernel")
+
     # the big-block two-dispatch encode (XLA stats + stateless pack
     # kernel) must produce the same words and stats as the fused kernel
     wb, mnb, maxdb, vb = (np.asarray(a) for a in

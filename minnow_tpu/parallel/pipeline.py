@@ -23,6 +23,7 @@ the device one-pass reduction flags them via ``valid``.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -332,6 +333,26 @@ class BlockEncoder:
         if not selfcheck.kernel_ok("encode", interpret=interpret):
             return None
 
+        dxq = (np.float32(high - low)
+               / pixels.astype(np.float32)).astype(np.float32)
+        db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+
+        # column-constant specialization (opt-in until certified on
+        # chip, MINNOW_TPU_PALLAS_CONST=1): when every block shares the
+        # column's quantization scalars -- the universal minh-column
+        # case -- bake them into the compiled kernel (bytes identical;
+        # validate_pallas_group gates const==generic on the backend)
+        const_cfg = None
+        if use_group and os.environ.get(
+                "MINNOW_TPU_PALLAS_CONST", "0") == "1":
+            uniform = all(
+                np.unique(np.asarray(a)).size == 1
+                for a in (low, db, deb, dm0, dm1, pixels, periodic))
+            if uniform:
+                const_cfg = (float(low[0]), int(db[0]), int(deb[0]),
+                             int(dm0[0]), int(dm1[0]), int(pixels[0]),
+                             bool(periodic[0]))
+
         def kernel_call(x, low, db, deb, dm0, dm1, pix, per):
             if use_group or use_big:
                 from ..ops.pallas_codec import group_tiles
@@ -339,22 +360,24 @@ class BlockEncoder:
                 g = group_tiles(bits_pred)
                 t = n // 32
                 bloc = x.shape[0]
-                fn = pallas_encode.encode_float_pallas_group \
-                    if use_group \
-                    else pallas_encode.encode_float_pallas_bigblock
-                w2, mins, maxd, valid = fn(
-                    x[:, :n].reshape(bloc * (t // g), g * 32), low,
-                    db, deb, dm0, dm1, pix, per, bits_pred, n,
-                    interpret=interpret)
+                if use_group:
+                    w2, mins, maxd, valid = \
+                        pallas_encode.encode_float_pallas_group(
+                            x[:, :n].reshape(bloc * (t // g), g * 32),
+                            low, db, deb, dm0, dm1, pix, per,
+                            bits_pred, n, interpret=interpret,
+                            const_cfg=const_cfg)
+                else:
+                    w2, mins, maxd, valid = \
+                        pallas_encode.encode_float_pallas_bigblock(
+                            x[:, :n].reshape(bloc * (t // g), g * 32),
+                            low, db, deb, dm0, dm1, pix, per,
+                            bits_pred, n, interpret=interpret)
                 return (w2.reshape(bloc, t * bits_pred), mins, maxd,
                         valid)
             return pallas_encode.encode_float_pallas(
                 x, low, db, deb, dm0, dm1, pix, per, bits_pred, n,
                 interpret=interpret)
-
-        dxq = (np.float32(high - low)
-               / pixels.astype(np.float32)).astype(np.float32)
-        db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
         args = (x, low, db, deb, dm0, dm1, pixels, periodic)
         if self.mesh is not None:
             # mesh path: pallas_call does not auto-shard, so the kernel

@@ -168,6 +168,74 @@ def test_group_encode_invalid_blocks_fall_back():
     np.testing.assert_array_equal(got.bits, want.bits)
 
 
+@pytest.mark.parametrize("bits", (7, 18, 23))
+@pytest.mark.parametrize("periodic", (True, False))
+def test_group_encode_const_specialized(bits, periodic, monkeypatch):
+    """Column-constant specialization (const_cfg): identical words,
+    stats, valid flags across widths and both static-periodic branches,
+    including the wrap cluster and the invalid-block flag class; and
+    the production opt-in (MINNOW_TPU_PALLAS_CONST=1) stays
+    byte-identical end-to-end through BlockEncoder."""
+    from minnow_tpu.parallel.pipeline import BlockEncoder
+
+    rng = np.random.default_rng(bits * 7 + periodic)
+    g = pallas_codec.group_tiles(bits)
+    n = 32 * g * 8
+    pixels = (1 << bits) - 1
+    low, high = 0.0, 100.0
+    dx = (high - low) / pixels
+    bsz = 4
+    x = (rng.integers(0, pixels, (bsz, n)).astype(np.float64) * dx
+         + dx * 0.3).astype(np.float32)
+    if bits >= 4:
+        wrap_q = np.concatenate([
+            rng.integers(0, 2, n // 2),
+            pixels - 1 - rng.integers(0, 2, n - n // 2)])
+        x[1] = (wrap_q.astype(np.float64) * dx + dx * 0.3).astype(
+            np.float32)
+    x[3, 7] = high + 5.0  # out-of-range: the invalid/fallback class
+
+    lowv = np.full(bsz, low, np.float32)
+    pixv = np.full(bsz, pixels, np.int64)
+    perv = np.full(bsz, periodic, bool)
+    dxq = np.full(bsz, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+    assert dok.all()
+    base = tuple(np.asarray(a) for a in
+                 pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=True))
+    cfg = (float(low), int(db[0]), int(deb[0]), int(dm0[0]),
+           int(dm1[0]), int(pixels), bool(periodic))
+    const = tuple(np.asarray(a) for a in
+                  pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=True, const_cfg=cfg))
+    for a, c, name in zip(base, const, ("words", "mins", "maxd",
+                                        "valid")):
+        np.testing.assert_array_equal(a, c, err_msg=name)
+
+    # production opt-in end-to-end (uniform scalars -> const engages)
+    monkeypatch.setenv("MINNOW_TPU_PALLAS_CONST", "1")
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels, periodic=periodic)
+    got = BlockEncoder(pallas=True).encode_float_blocks(
+        x, low, high, pixels, periodic=periodic)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+
+    # NON-uniform scalars must NOT engage the const path (and still be
+    # byte-identical through the generic kernel)
+    low2 = np.full(bsz, low, np.float32)
+    low2[0] = low + 1.0
+    got2 = BlockEncoder(pallas=True).encode_float_blocks(
+        x, low2, high, pixels, periodic=periodic)
+    want2 = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low2, high, pixels, periodic=periodic)
+    assert got2.payloads == want2.payloads
+
+
 @pytest.mark.parametrize("bits", (11, 33, 45, 64))
 def test_int_pack_kernel_sweep_multi_chunk(bits):
     """The stateless int pack kernel across multi-chunk shapes
