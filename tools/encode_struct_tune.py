@@ -32,6 +32,10 @@ VARIANTS = {
     "cap128p": dict(kpb_cap=128, psem=True),
     "cap256p": dict(kpb_cap=256, psem=True),
     "cap512p": dict(kpb_cap=512, psem=True),
+    # column-constant specialization (round-4): scalars compiled in
+    "const128": dict(kpb_cap=128, psem=False, const=True),
+    "const256": dict(kpb_cap=256, psem=False, const=True),
+    "const128p": dict(kpb_cap=128, psem=True, const=True),
 }
 
 
@@ -74,6 +78,17 @@ def main(names):
         assert dok.all()
         return lowv, db, deb, dm0, dm1, pixv, per
 
+    def const_cfg():
+        _, db, deb, dm0, dm1, _, _ = scalars(1)
+        return (float(low), int(db[0]), int(deb[0]), int(dm0[0]),
+                int(dm1[0]), int(pixels), True)
+
+    def resolve(kw):
+        kw = dict(kw)
+        if kw.pop("const", False):
+            kw["const_cfg"] = const_cfg()
+        return kw
+
     rng = np.random.default_rng(12)
 
     def validate(kw):
@@ -113,10 +128,11 @@ def main(names):
         return t, b * n_blk * 4
 
     for name in names:
-        kw = VARIANTS[name]
+        kw = resolve(VARIANTS[name])
         res = {"variant": name}
         try:
-            if not kw["psem"]:  # psem cannot change bytes; caps can
+            # psem cannot change bytes; caps and const can
+            if not kw["psem"] or "const_cfg" in kw:
                 res["exact"] = validate(kw)
                 if not res["exact"]:
                     print(json.dumps(res), flush=True)

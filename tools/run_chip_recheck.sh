@@ -17,7 +17,13 @@ print(json.dumps(validate.validate_backend()))
 " >> "$LOG" 2>&1
 echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
 echo "=== bench $(date +%H:%M:%S) ===" >> "$LOG"
-timeout 5400 python bench.py >> "$LOG" 2>&1
+# manual recheck wants the FULL section set even on a cold cache, so
+# widen bench's (driver-sized) default budget
+MINNOW_TPU_BENCH_BUDGET_S=5000 timeout 5400 python bench.py >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "=== encode struct/const tune $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 3600 python tools/encode_struct_tune.py cap128 cap256 cap128p \
+    const128 const256 const128p >> "$LOG" 2>&1
 echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
 echo "=== int attrib $(date +%H:%M:%S) ===" >> "$LOG"
 timeout 1800 python tools/int_encode_attrib.py >> "$LOG" 2>&1
