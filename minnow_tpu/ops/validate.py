@@ -319,7 +319,8 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
                               fused_u.view(np.uint32)):
             raise AssertionError("fused uniform decode diverges from "
                                  "XLA decode at t_g=%d" % t_g)
-    g = pallas_codec.group_tiles(18)  # encode check runs at flagship width
+    bits = 18  # encode check runs at the flagship width
+    g = pallas_codec.group_tiles(bits)
     n, bsz = 32 * g * 8, 4
 
     # fused group encode vs host spec bytes
