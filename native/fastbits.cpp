@@ -30,24 +30,36 @@ static inline uint64_t width_mask(int bits) {
 // Pack n values at the given width into out. out must be zero-initialized
 // and have array_bytes(bits, n) + 16 bytes of writable slack (the fast path
 // stores whole 64-bit words).
+// Carry-accumulator pack: gather masked values into a 64-bit register
+// and store each word ONCE when full.  The previous per-element 8-byte
+// read-OR-write loop serialized on store-to-load forwarding of the
+// overlapping words (~0.95 GB/s at bits<=32 on this host); one aligned
+// store per 64 output bits runs ~3-4x faster (tools/ref_algo_baseline.py
+// records the comparison).  Requires i0*bits % 8 == 0 (chunk starts are
+// 8-element-aligned) and a zeroed output with >= 8 bytes of slack.
 static void pack_range(const uint64_t* x, int64_t i0, int64_t i1, int bits,
                        uint8_t* out) {
     const uint64_t mask = width_mask(bits);
+    uint8_t* p = out + ((i0 * (int64_t)bits) >> 3);
+    uint64_t acc = 0;
+    int fill = 0;
     for (int64_t i = i0; i < i1; i++) {
         uint64_t v = x[i] & mask;
-        int64_t bitpos = i * (int64_t)bits;
-        int64_t byte = bitpos >> 3;
-        int shift = (int)(bitpos & 7);
-        uint64_t lo;
-        std::memcpy(&lo, out + byte, 8);
-        lo |= v << shift;
-        std::memcpy(out + byte, &lo, 8);
-        if (shift && bits + shift > 64) {
-            uint8_t hi = out[byte + 8];
-            hi |= (uint8_t)(v >> (64 - shift));
-            out[byte + 8] = hi;
+        acc |= v << fill;
+        fill += bits;
+        if (fill >= 64) {
+            std::memcpy(p, &acc, 8);
+            p += 8;
+            fill -= 64;
+            int done = bits - fill;           // bits already stored
+            acc = (fill && done < 64) ? (v >> done) : 0;
         }
     }
+    // tail flush: fill is a multiple of 8 at internal chunk boundaries
+    // (chunks are 8-element multiples); only the array's ragged final
+    // bits can end mid-byte, where the zeroed buffer makes OR exact
+    for (int k = 0; fill > 0; k++, fill -= 8)
+        p[k] |= (uint8_t)(acc >> (8 * k));
 }
 
 void mnw_pack(const uint64_t* x, int64_t n, int bits, uint8_t* out,
