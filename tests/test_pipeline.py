@@ -51,6 +51,31 @@ def test_sharded_float_encode_matches_spec(mesh8):
         enc.offsets, np.concatenate([[0], np.cumsum(enc.sizes)[:-1]]))
 
 
+def test_sharded_float_encode_const_specialized(mesh8, monkeypatch):
+    """The column-constant kernel path under shard_map over the mesh:
+    uniform scalars at a group-qualifying shape, byte-identical to the
+    host path (const_cfg is a static closure; each device runs the
+    specialized kernel on its local blocks)."""
+    from minnow_tpu.ops import pallas_codec
+
+    monkeypatch.setenv("MINNOW_TPU_PALLAS_CONST", "1")
+    rng = np.random.default_rng(3)
+    bits = 18
+    g = pallas_codec.group_tiles(bits)
+    b, n = 16, 32 * g * 8
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+
+    want = BlockEncoder(pallas=False).encode_float_blocks(
+        x, low, high, pixels)
+    got = BlockEncoder(mesh8, pallas=True).encode_float_blocks(
+        x, low, high, pixels)
+    assert got.payloads == want.payloads
+    np.testing.assert_array_equal(got.mins, want.mins)
+    np.testing.assert_array_equal(got.bits, want.bits)
+
+
 def test_sharded_int_encode_matches_spec(mesh8):
     rng = np.random.default_rng(1)
     b, n = 16, 128
