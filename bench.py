@@ -159,8 +159,8 @@ def _bench_shape(b, n, bits, low, high, dx):
 
         # column-constant specialization A/B (round-3 open experiment):
         # same kernel with the per-column scalars compiled in
-        cfg = (float(low), int(db[0]), int(deb[0]), int(dm0[0]),
-               int(dm1[0]), int(pixels), True)
+        cfg = pallas_encode.make_const_cfg(low, db, deb, dm0, dm1,
+                                           pixels, True)
 
         def encode_pgc(x2d, lowv, db, deb, dm0, dm1, pixv, per):
             return pallas_encode.encode_float_pallas_group(
@@ -239,7 +239,10 @@ def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
         extra["encode_pallas_const_GBps"] = round(enc_pgc, 3)
         extra["encode_pallas_const_GBps_med"] = round(
             _safe_slope(by1, by2, tpec1.med, tpec2.med), 3)
-        enc_gbs = max(enc_gbs, enc_pgc)
+        # the const path is production only under the env opt-in; the
+        # headline must reflect what a default install runs
+        if os.environ.get("MINNOW_TPU_PALLAS_CONST", "0") == "1":
+            enc_gbs = max(enc_gbs, enc_pgc)
     if tp1 is not None and tp2 is not None:
         dec_pg = _safe_slope(by1, by2, tp1, tp2)
         extra["decode_pallas_group_GBps"] = round(dec_pg, 3)
@@ -879,7 +882,10 @@ def _emit(partial, error=None):
         "vs_baseline": _PARTIAL["vs_baseline"],
     }
     if _PARTIAL["detail"]:
-        rec["detail"] = _PARTIAL["detail"]
+        # snapshot: the watchdog thread serializes while the main
+        # thread may be inserting keys -- dict.copy() is atomic under
+        # the GIL, iterating the live dict in json.dumps is not
+        rec["detail"] = _PARTIAL["detail"].copy()
     if partial:
         rec["partial"] = True
         rec["stage"] = _PARTIAL["stage"]
@@ -942,8 +948,11 @@ def main():
     # under the driver's clock (round 3 died at the driver timeout with
     # a 39-minute probe phase that started the watchdog too late).
     attempts = int(os.environ.get("MINNOW_TPU_BENCH_ATTEMPTS", "2"))
+    # 120 s matches utils/backend_guard's default for the same probe:
+    # healthy tunnel init runs ~60 s and co-tenant load doubles it, so
+    # 90 s risked a false tpu_unavailable on a usable chip
     probe_timeout = float(os.environ.get(
-        "MINNOW_TPU_BENCH_PROBE_TIMEOUT", "90"))
+        "MINNOW_TPU_BENCH_PROBE_TIMEOUT", "120"))
     backoff = float(os.environ.get("MINNOW_TPU_BENCH_BACKOFF", "5"))
 
     # Watchdog armed at process entry: if ANYTHING (probe subprocess
@@ -957,9 +966,13 @@ def main():
         with _out_lock:
             if _done.is_set():
                 return  # results are in; let main print them
-            _emit(partial=True,
-                  error="bench_timeout_after_%ds" % int(_BUDGET_S))
-            os._exit(0)
+            try:
+                _emit(partial=True,
+                      error="bench_timeout_after_%ds" % int(_BUDGET_S))
+            except Exception:  # noqa: BLE001 - never outlive the budget
+                pass
+            finally:
+                os._exit(0)
 
     watchdog = threading.Timer(max(_remaining() - 20.0, 5.0), _watchdog)
     watchdog.daemon = True
@@ -999,94 +1012,107 @@ def main():
             _emit(partial=False,
                   error="tpu_unavailable: %s" % str(e)[:160])
         return
-    detail = _PARTIAL["detail"]
-    detail["device"] = str(jax.devices()[0])
-    _PARTIAL["metric_backend"] = backend
-
-    # Host-side native baseline first: cheap (~seconds, no jax), and it
-    # makes vs_baseline computable the moment the headline slopes land.
-    _PARTIAL["stage"] = "native_baseline"
+    # Any raise past this point (a relay death that RAISES instead of
+    # hangs -- the round-2 rc=1 class) must still produce the one JSON
+    # line; the except below emits partial results and exits 0.
     try:
-        base = bench_native_baseline()
-        if base:
-            detail["native_single_core_GBps"] = round(base, 3)
-    except Exception as e:  # noqa: BLE001 - baseline is best-effort
-        detail["native_baseline_error"] = str(e)[:120]
+        detail = _PARTIAL["detail"]
+        detail["device"] = str(jax.devices()[0])
+        _PARTIAL["metric_backend"] = backend
 
-    _PARTIAL["stage"] = "validate"
-    from minnow_tpu.ops import validate
-
-    report = validate.validate_backend()
-    assert report["exact"]  # core XLA/host codec MUST be bit-exact
-    # the full validation suite strictly subsumes the per-process
-    # one-shot kernel self-check; skip it for the rest of this run
-    os.environ["MINNOW_TPU_PALLAS_SELFCHECK"] = "0"
-    # kernel-path validation failures disable that path (env kill
-    # switches honored by production readers/encoders and every bench
-    # section) and are reported -- the bench then times the XLA paths
-    if report.get("pallas_encode") not in (True, None):
-        os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
-        detail["pallas_encode_validation"] = report["pallas_encode"]
-    if report.get("pallas_group") not in (True, None):
-        os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
-        os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
-        detail["pallas_group_validation"] = report["pallas_group"]
-
-    # Headline slopes FIRST (VERDICT r3 next #1c): if the budget dies
-    # anywhere past this point, the partial record still has the
-    # encode/decode numbers the whole artifact exists to capture.
-    _PARTIAL["stage"] = "bench_device"
-    try:
-        enc_gbs, dec_gbs, gb, extra = bench_device()
-    except AssertionError as e:
-        # an on-device cross-check caught a kernel divergence the
-        # validation suite missed: disable the kernels, re-run XLA-only
-        os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
-        os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
-        detail["pallas_disabled_after"] = str(e)[:200]
-        enc_gbs, dec_gbs, gb, extra = bench_device()
-    detail.update(extra)
-    detail["encode_GBps"] = round(enc_gbs, 3)
-    detail["decode_GBps"] = round(dec_gbs, 3)
-    _update_headline()
-
-    _PARTIAL["stage"] = "bench_big_blocks"
-    if _remaining() > 150.0:
+        # Host-side native baseline first: cheap (~seconds, no jax), and it
+        # makes vs_baseline computable the moment the headline slopes land.
+        _PARTIAL["stage"] = "native_baseline"
         try:
-            big = bench_big_blocks()
-            detail.update(big)
-            enc_gbs = max(enc_gbs,
-                          big.get("encode_xla_bigblock_GBps", 0),
-                          big.get("encode_pallas_bigblock_GBps", 0))
-            dec_gbs = max(
-                dec_gbs,
-                big.get("decode_pallas_group_bigblock_GBps", 0))
-            detail["encode_GBps"] = round(enc_gbs, 3)
-            detail["decode_GBps"] = round(dec_gbs, 3)
-            _update_headline()
-        except Exception as e:  # noqa: BLE001 - secondary, best-effort
-            detail["bigblock_error"] = str(e)[:120]
-    else:
-        detail.setdefault("skipped_sections", []).append("big_blocks")
+            base = bench_native_baseline()
+            if base:
+                detail["native_single_core_GBps"] = round(base, 3)
+        except Exception as e:  # noqa: BLE001 - baseline is best-effort
+            detail["native_baseline_error"] = str(e)[:120]
 
-    # Long tail: each section is optional, budget-gated, and lands its
-    # numbers in detail immediately on completion.
-    for name, fn, min_s in (
-        ("sustained", bench_sustained, 180.0),
-        ("pallas_encode", bench_pallas_encode, 120.0),
-        ("extra_configs", bench_extra_configs, 150.0),
-        ("text_to_minh", bench_text_to_minh, 120.0),
-    ):
-        _PARTIAL["stage"] = "bench_" + name
-        if _remaining() <= min_s:
-            detail.setdefault("skipped_sections", []).append(name)
-            continue
+        _PARTIAL["stage"] = "validate"
+        from minnow_tpu.ops import validate
+
+        report = validate.validate_backend()
+        assert report["exact"]  # core XLA/host codec MUST be bit-exact
+        # the full validation suite strictly subsumes the per-process
+        # one-shot kernel self-check; skip it for the rest of this run
+        os.environ["MINNOW_TPU_PALLAS_SELFCHECK"] = "0"
+        # kernel-path validation failures disable that path (env kill
+        # switches honored by production readers/encoders and every bench
+        # section) and are reported -- the bench then times the XLA paths
+        if report.get("pallas_encode") not in (True, None):
+            os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+            detail["pallas_encode_validation"] = report["pallas_encode"]
+        if report.get("pallas_group") not in (True, None):
+            os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+            os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
+            detail["pallas_group_validation"] = report["pallas_group"]
+
+        # Headline slopes FIRST (VERDICT r3 next #1c): if the budget dies
+        # anywhere past this point, the partial record still has the
+        # encode/decode numbers the whole artifact exists to capture.
+        _PARTIAL["stage"] = "bench_device"
         try:
-            detail.update(fn())
-        except Exception as e:  # noqa: BLE001 - secondary, best-effort
-            detail["%s_error" % name] = str(e)[:120]
+            enc_gbs, dec_gbs, gb, extra = bench_device()
+        except AssertionError as e:
+            # an on-device cross-check caught a kernel divergence the
+            # validation suite missed: disable the kernels, re-run XLA-only
+            os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+            os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
+            detail["pallas_disabled_after"] = str(e)[:200]
+            enc_gbs, dec_gbs, gb, extra = bench_device()
+        detail.update(extra)
+        detail["encode_GBps"] = round(enc_gbs, 3)
+        detail["decode_GBps"] = round(dec_gbs, 3)
+        _update_headline()
 
-    _PARTIAL["stage"] = "done"
+        _PARTIAL["stage"] = "bench_big_blocks"
+        if _remaining() > 150.0:
+            try:
+                big = bench_big_blocks()
+                detail.update(big)
+                enc_gbs = max(enc_gbs,
+                              big.get("encode_xla_bigblock_GBps", 0),
+                              big.get("encode_pallas_bigblock_GBps", 0))
+                dec_gbs = max(
+                    dec_gbs,
+                    big.get("decode_pallas_group_bigblock_GBps", 0))
+                detail["encode_GBps"] = round(enc_gbs, 3)
+                detail["decode_GBps"] = round(dec_gbs, 3)
+                _update_headline()
+            except Exception as e:  # noqa: BLE001 - secondary, best-effort
+                detail["bigblock_error"] = str(e)[:120]
+        else:
+            detail.setdefault("skipped_sections", []).append("big_blocks")
+
+        # Long tail: each section is optional, budget-gated, and lands its
+        # numbers in detail immediately on completion.
+        for name, fn, min_s in (
+            ("sustained", bench_sustained, 180.0),
+            ("pallas_encode", bench_pallas_encode, 120.0),
+            ("extra_configs", bench_extra_configs, 150.0),
+            ("text_to_minh", bench_text_to_minh, 120.0),
+        ):
+            _PARTIAL["stage"] = "bench_" + name
+            if _remaining() <= min_s:
+                detail.setdefault("skipped_sections", []).append(name)
+                continue
+            try:
+                detail.update(fn())
+            except Exception as e:  # noqa: BLE001 - secondary, best-effort
+                detail["%s_error" % name] = str(e)[:120]
+
+        _PARTIAL["stage"] = "done"
+    except Exception as e:  # noqa: BLE001 - emit, never traceback
+        with _out_lock:
+            if not _done.is_set():
+                _done.set()
+                watchdog.cancel()
+                _emit(partial=True,
+                      error="bench_error: %s: %s"
+                            % (type(e).__name__, str(e)[:200]))
+        return
     with _out_lock:
         _done.set()
         watchdog.cancel()

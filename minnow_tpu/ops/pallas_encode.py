@@ -473,6 +473,23 @@ def supported_group_enc(bits: int, n: int, pixels_max: int) -> bool:
             and n <= (32 * g * 256) and pixels_max < (1 << 24))
 
 
+def make_const_cfg(low, b, eb, m0, m1, pixels, periodic):
+    """Build the static column-constant tuple ``const_cfg`` consumed by
+    :func:`encode_float_pallas_group` / ``_encode_group_block``.
+
+    The ONLY sanctioned constructor: the tuple is positional, and the
+    kernel unpacks it positionally, so every call site (pipeline,
+    bench, validate, tools) must come through here to stay in sync.
+    Accepts scalars or length-uniform arrays (first element taken)."""
+    import numpy as np
+
+    def _s(v):
+        return np.asarray(v).ravel()[0]
+
+    return (float(_s(low)), int(_s(b)), int(_s(eb)), int(_s(m0)),
+            int(_s(m1)), int(_s(pixels)), bool(_s(periodic)))
+
+
 def _encode_kernel_group(bits: int, G: int, cs: int, kpb: int,
                          t_g: int, x_ref, low_ref,
                          b_ref, eb_ref, m0_ref, m1_ref, pix_ref,

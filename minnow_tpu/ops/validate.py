@@ -353,8 +353,8 @@ def validate_pallas_group(seed: int = 5, interpret: bool = False) -> None:
 
     # column-constant specialization: identical output words/stats
     # (this on-chip pass is what lets production enable const_cfg)
-    cfg = (float(lowf), int(db[0]), int(deb[0]), int(dm0[0]),
-           int(dm1[0]), int(pixels), True)
+    cfg = pallas_encode.make_const_cfg(lowf, db, deb, dm0, dm1,
+                                       pixels, True)
     wc, mnc, maxdc, vc = (np.asarray(a) for a in
                           pallas_encode.encode_float_pallas_group(
         x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,

@@ -346,12 +346,11 @@ class BlockEncoder:
         if use_group and os.environ.get(
                 "MINNOW_TPU_PALLAS_CONST", "0") == "1":
             uniform = all(
-                np.unique(np.asarray(a)).size == 1
+                bool((np.asarray(a)[:1] == np.asarray(a)).all())
                 for a in (low, db, deb, dm0, dm1, pixels, periodic))
             if uniform:
-                const_cfg = (float(low[0]), int(db[0]), int(deb[0]),
-                             int(dm0[0]), int(dm1[0]), int(pixels[0]),
-                             bool(periodic[0]))
+                const_cfg = pallas_encode.make_const_cfg(
+                    low, db, deb, dm0, dm1, pixels, periodic)
 
         def kernel_call(x, low, db, deb, dm0, dm1, pix, per):
             if use_group or use_big:

@@ -123,9 +123,14 @@ def probe(timeout_s: float | None = None):
         import jax
         return jax.default_backend()
     if not _tunnel_in_play():
-        # In-process init cannot hang here; let the caller just use jax.
-        import jax
-        return jax.default_backend()
+        # In-process init cannot hang here, but it CAN fail fast
+        # (device held by another process, driver error); the contract
+        # is "name, or None" either way.
+        try:
+            import jax
+            return jax.default_backend()
+        except Exception:  # noqa: BLE001 - init failure == unavailable
+            return None
     if _cached is not _UNSET:
         return _cached
     if timeout_s is None:

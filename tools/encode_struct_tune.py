@@ -80,8 +80,8 @@ def main(names):
 
     def const_cfg():
         _, db, deb, dm0, dm1, _, _ = scalars(1)
-        return (float(low), int(db[0]), int(deb[0]), int(dm0[0]),
-                int(dm1[0]), int(pixels), True)
+        return pallas_encode.make_const_cfg(low, db, deb, dm0, dm1,
+                                            pixels, True)
 
     def resolve(kw):
         kw = dict(kw)
