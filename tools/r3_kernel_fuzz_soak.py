@@ -1,6 +1,7 @@
-"""Extended interpret-mode fuzz soak of the round-3 kernels (int pack,
-fused uniform decode) -- many random width/shape/config draws beyond
-the suite's seeds.  Host-only; run during chip downtime.
+"""Extended interpret-mode fuzz soak of the round-3/4 kernels (int
+pack, fused uniform decode, const-specialized encode) -- many random
+width/shape/config draws beyond the suite's seeds.  Host-only; run
+during chip downtime.
 
   python tools/r3_kernel_fuzz_soak.py [n_seeds]
 """
@@ -74,6 +75,50 @@ def one_uniform(rng):
         ("uniform", bits, t_g, bsz, sd)
 
 
+def one_const_encode(rng):
+    """Const-specialized group encode == generic kernel, random width /
+    pixels / periodic / data class (round-4)."""
+    from minnow_tpu.core import spec
+    from minnow_tpu.ops import fastdiv, pallas_codec, pallas_encode
+
+    bits = int(rng.integers(2, 25))
+    g = pallas_codec.group_tiles(bits)
+    t_g = int(rng.choice([8, 16, 64]))
+    n = 32 * g * t_g
+    bsz = int(rng.integers(1, 4))
+    pixels = int(rng.integers(3, min((1 << bits), 1 << 24)))
+    low = float(rng.uniform(-1000, 1000))
+    high = low + float(rng.uniform(0.5, 5000))
+    periodic = bool(rng.integers(0, 2))
+    dxv = spec.quantize_dx(low, high, pixels)
+    span = np.float32(high) - np.float32(low)
+    x = (low + rng.uniform(0, 1, (bsz, n)).astype(np.float32)
+         * (span * np.float32(0.999))).astype(np.float32)
+    if rng.integers(0, 2):
+        x[0, int(rng.integers(0, n))] = high + 1.0  # invalid class
+    lowv = np.full(bsz, low, np.float32)
+    pixv = np.full(bsz, pixels, np.int64)
+    perv = np.full(bsz, periodic, bool)
+    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(
+        np.full(bsz, dxv, np.float32))
+    if not dok.all():
+        return  # divisor class the fast path rejects anyway
+    base = tuple(np.asarray(a) for a in
+                 pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=True))
+    cfg = pallas_encode.make_const_cfg(low, db, deb, dm0, dm1, pixels,
+                                       periodic)
+    const = tuple(np.asarray(a) for a in
+                  pallas_encode.encode_float_pallas_group(
+        x.reshape(-1, g * 32), lowv, db, deb, dm0, dm1, pixv, perv,
+        bits, n, interpret=True, const_cfg=cfg))
+    for a, c, name in zip(base, const, ("words", "mins", "maxd",
+                                        "valid")):
+        assert np.array_equal(a, c), \
+            ("const_encode", bits, t_g, pixels, periodic, name)
+
+
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     t0 = time.time()
@@ -81,6 +126,7 @@ def main():
         rng = np.random.default_rng(31337 + seed)
         one_int_pack(rng)
         one_uniform(rng)
+        one_const_encode(rng)
         if (seed + 1) % 10 == 0:
             print("seed %d/%d ok (%.0fs)" % (seed + 1, n_seeds,
                                              time.time() - t0),
