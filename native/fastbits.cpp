@@ -80,19 +80,33 @@ void mnw_pack(const uint64_t* x, int64_t n, int bits, uint8_t* out,
     for (auto& t : ts) t.join();
 }
 
+// Streaming-window unpack: keep the not-yet-consumed packed bits in a
+// 64-bit register and load each input word ONCE (the per-element
+// unaligned 8-byte load repeated ~64/bits times per word was the old
+// cost).  Requires i0*bits % 8 == 0 (chunk starts are 8-element
+// aligned) and the documented 16 bytes of readable slack.
 static void unpack_range(const uint8_t* in, int64_t i0, int64_t i1, int bits,
                          uint64_t* out) {
     const uint64_t mask = width_mask(bits);
+    const uint8_t* p = in + ((i0 * (int64_t)bits) >> 3);
+    uint64_t cur;
+    std::memcpy(&cur, p, 8);
+    p += 8;
+    int avail = 64;
     for (int64_t i = i0; i < i1; i++) {
-        int64_t bitpos = i * (int64_t)bits;
-        int64_t byte = bitpos >> 3;
-        int shift = (int)(bitpos & 7);
-        uint64_t lo;
-        std::memcpy(&lo, in + byte, 8);
-        uint64_t v = lo >> shift;
-        if (shift && bits + shift > 64)
-            v |= (uint64_t)in[byte + 8] << (64 - shift);
-        out[i] = v & mask;
+        if (avail >= bits) {
+            out[i] = cur & mask;
+            cur = (bits < 64) ? (cur >> bits) : 0;
+            avail -= bits;
+        } else {
+            uint64_t nxt;
+            std::memcpy(&nxt, p, 8);
+            p += 8;
+            out[i] = (cur | (avail ? (nxt << avail) : nxt)) & mask;
+            int need = bits - avail;          // in [1, 64]
+            cur = (need < 64) ? (nxt >> need) : 0;
+            avail = 64 - need;
+        }
     }
 }
 

@@ -7,6 +7,11 @@ while true; do
   if timeout 180 python -c "import jax; print(jax.devices())" \
       > /tmp/chip_probe.log 2>&1; then
     date > /tmp/chip_up
+    # kick the full on-chip evidence batch immediately so no recovery
+    # window is wasted (validate -> bench -> attrib -> kernel tunes;
+    # log: tools/chip_recheck.log)
+    nohup bash /root/repo/tools/run_chip_recheck.sh \
+      > /tmp/chip_recheck_launch.log 2>&1 &
     exit 0
   fi
   sleep 600
