@@ -21,6 +21,10 @@
 #include <vector>
 #include <algorithm>
 
+#ifdef __AVX512DQ__
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 static inline uint64_t width_mask(int bits) {
@@ -184,7 +188,27 @@ void mnw_bound(int64_t* x, int64_t n, int64_t mn, int64_t pixels) {
 
 void mnw_quantize(const float* x, int64_t n, float low, float dx,
                   int64_t* q) {
-    for (int64_t i = 0; i < n; i++) {
+    int64_t i = 0;
+#ifdef __AVX512DQ__
+    // 16 lanes/iter, same semantics as the scalar tail bit-for-bit:
+    // f32 subtract, f32 divide (vdivps is IEEE-exact), floor
+    // (f32 round-to-neg-inf == floor in f64: every f32 is exactly a
+    // f64), truncating convert to int64 (out-of-range -> the same
+    // 0x8000... sentinel as cvttsd2si).  gcc will not auto-vectorize
+    // the f32->int64 convert, so the scalar loop ran ~2.6x slower.
+    __m512 vlow = _mm512_set1_ps(low), vdx = _mm512_set1_ps(dx);
+    for (; i + 16 <= n; i += 16) {
+        __m512 z = _mm512_div_ps(
+            _mm512_sub_ps(_mm512_loadu_ps(x + i), vlow), vdx);
+        z = _mm512_roundscale_ps(
+            z, _MM_FROUND_TO_NEG_INF | _MM_FROUND_NO_EXC);
+        __m256 lo = _mm512_castps512_ps256(z);
+        __m256 hi = _mm512_extractf32x8_ps(z, 1);
+        _mm512_storeu_si512(q + i, _mm512_cvttps_epi64(lo));
+        _mm512_storeu_si512(q + i + 8, _mm512_cvttps_epi64(hi));
+    }
+#endif
+    for (; i < n; i++) {
         float z = (x[i] - low) / dx;
         q[i] = (int64_t)std::floor((double)z);
     }
