@@ -906,23 +906,14 @@ def _probe_backend(timeout_s):
     relay is half-dead (observed: jax.devices() blocked >240 s with the
     relay port open but the orchestrator gone), so an in-process
     try/except can never recover -- the probe must be killable.
+    Delegates to utils/backend_guard (one probe implementation; its
+    MINNOW_TPU_TEST_HANG_BACKEND hook lets tests simulate the hang).
     Returns the backend platform name, or None on failure/timeout."""
-    import subprocess
     import sys
-    code = ("import jax\n"
-            "print('BACKEND=' + jax.default_backend())\n")
-    try:
-        p = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return None
-    if p.returncode != 0:
-        return None
-    for line in p.stdout.splitlines():
-        if line.startswith("BACKEND="):
-            return line[len("BACKEND="):]
-    return None
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from minnow_tpu.utils import backend_guard
+
+    return backend_guard._subprocess_probe(timeout_s)
 
 
 def _update_headline():

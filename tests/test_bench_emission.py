@@ -1,0 +1,86 @@
+"""bench.py's one-JSON-line guarantee, tested as a subprocess contract.
+
+The driver records whatever bench.py prints; rounds 2 and 3 were lost
+to runs that died without a parseable line (rc=1 traceback; rc=124
+driver timeout).  These tests pin the three emission modes -- outage,
+mid-run budget expiry (partial results), and mid-run raise -- each
+asserting rc == 0 and exactly one parseable JSON record on stdout.
+Each launches bench.py as the driver does (fresh interpreter, piped
+stdout), on the CPU backend with tiny budgets.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run(extra_env, timeout=180):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra_env)
+    p = subprocess.run([sys.executable, BENCH], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=timeout)
+    assert p.returncode == 0, (p.returncode, p.stdout, p.stderr)
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, "expected exactly one JSON line:\n%s" \
+        % p.stdout
+    return json.loads(lines[0])
+
+
+def test_outage_emits_structured_error():
+    """Backend init hangs forever -> tpu_unavailable within the probe
+    budget, rc 0.  The hang is real (probe child sleeps)."""
+    rec = _run({
+        "MINNOW_TPU_TEST_HANG_BACKEND": "1",
+        "MINNOW_TPU_BENCH_ATTEMPTS": "1",
+        "MINNOW_TPU_BENCH_PROBE_TIMEOUT": "5",
+        "MINNOW_TPU_BENCH_BUDGET_S": "60",
+    })
+    assert rec["error"] == "tpu_unavailable"
+    assert rec["value"] is None
+    assert rec["unit"] == "GB/s"
+
+
+def test_budget_expiry_emits_partial_results():
+    """Budget expires mid-run -> partial record with a stage marker and
+    whatever detail accumulated, rc 0 (the round-3 rc=124 class)."""
+    rec = _run({
+        "MINNOW_TPU_BENCH_BUDGET_S": "45",
+    }, timeout=120)
+    assert rec.get("partial") is True
+    assert rec["error"].startswith("bench_timeout_after_")
+    assert "stage" in rec
+    # the native baseline runs in seconds and must have landed
+    assert rec["detail"]["native_single_core_GBps"] > 0
+
+
+def test_midrun_raise_emits_partial_results():
+    """A raise after backend init (the round-2 rc=1 class) -> partial
+    record carrying the error, rc 0.  Driven through a -c wrapper that
+    monkeypatches validate_backend to raise, then calls bench.main()
+    -- same one-line stdout contract."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MINNOW_TPU_BENCH_BUDGET_S"] = "120"
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from minnow_tpu.ops import validate\n"
+        "def boom():\n"
+        "    raise RuntimeError('simulated relay death')\n"
+        "validate.validate_backend = boom\n"
+        "import bench\n"
+        "bench.main()\n" % REPO)
+    p = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=180)
+    assert p.returncode == 0, (p.returncode, p.stdout, p.stderr)
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    rec = json.loads(lines[0])
+    assert rec.get("partial") is True
+    assert "simulated relay death" in rec["error"]
