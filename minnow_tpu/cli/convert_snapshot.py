@@ -4,9 +4,14 @@ committed; this implements its evident intent, SURVEY App. B #1).
 
 Usage:
   python -m minnow_tpu.cli.convert_snapshot to_minp <in_dir> <out_dir> \
-      <file_cells> <sub_cells> <dx> <dv>
+      <file_cells> <sub_cells> <dx> <dv> [--device]
   python -m minnow_tpu.cli.convert_snapshot to_lgadget2 <in_dir> \
       <fname_fmt> <out_dir>
+
+With ``--device`` the minp vector encode runs through the batched
+device pipeline (parallel.BlockEncoder); output bytes are identical to
+the host writer, and a dead backend downgrades to the host path with a
+warning instead of hanging.
 """
 
 from __future__ import annotations
@@ -17,7 +22,13 @@ from ..ingest import lgadget2, snapshot
 
 
 def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
+    argv = list(sys.argv[1:] if argv is None else argv)
+    device = "--device" in argv
+    if device:
+        argv.remove("--device")
+        from ..utils import backend_guard
+
+        device = backend_guard.device_or_host(device)
     if not argv:
         raise SystemExit(__doc__)
     mode = argv[0]
@@ -28,8 +39,13 @@ def main(argv=None):
         file_cells, sub_cells = int(argv[3]), int(argv[4])
         dx, dv = float(argv[5]), float(argv[6])
         snap = lgadget2.LGadget2Snapshot(in_dir)
+        encoder = None
+        if device:
+            from ..parallel import BlockEncoder
+
+            encoder = BlockEncoder()
         snapshot.write_minp(out_dir, "%s_%d.minp", file_cells, sub_cells,
-                            dx, dv, snap)
+                            dx, dv, snap, encoder=encoder)
     elif mode == "to_lgadget2":
         if len(argv) != 4:
             raise SystemExit(__doc__)

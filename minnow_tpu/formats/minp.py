@@ -221,8 +221,8 @@ class Writer:
         self.close()
 
 
-def create(fname) -> Writer:
-    return Writer(fname)
+def create(fname, encoder=None) -> Writer:
+    return Writer(fname, encoder=encoder)
 
 
 class Reader:

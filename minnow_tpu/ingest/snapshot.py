@@ -237,17 +237,22 @@ class MinPSnapshot(Snapshot):
 
 def write_minp(dirname: str, fname_fmt: str, file_cells: int,
                sub_cells: int, dx: float, dv: float,
-               snap: Snapshot) -> None:
+               snap: Snapshot, encoder=None) -> None:
     """Convert any snapshot to a minp fileset, one file per file-cell
     (ref go/minp/snapshot/minp.go:90-123; the reference writes position
-    data into the velocity files -- App. B #2 -- fixed here)."""
+    data into the velocity files -- App. B #2 -- fixed here).
+
+    ``encoder`` (a parallel.BlockEncoder) routes each file's sub-cell
+    vector encode through the batched device pipeline; bytes are
+    identical to the host writer."""
     grid = Grid(snap, file_cells)
     for kind, read, step, periodic in (("x", grid.read_x, dx, True),
                                        ("v", grid.read_v, dv, False)):
         for i in range(grid.files()):
             cell = minp_fmt.Cell(i, file_cells, sub_cells)
             w = minp_fmt.create(
-                os.path.join(dirname, fname_fmt % (kind, i)))
+                os.path.join(dirname, fname_fmt % (kind, i)),
+                encoder=encoder)
             w.header(grid.header(), grid.raw_header(i), cell, step,
                      periodic)
             w.vectors(read(i))

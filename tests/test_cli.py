@@ -156,6 +156,43 @@ def test_convert_snapshot_cycle(tmp_path):
         np.testing.assert_array_equal(back.read_id(i), grid.read_id(i))
 
 
+def test_convert_snapshot_device_matches_host(tmp_path):
+    """to_minp --device (BlockEncoder-routed minp vector encode) writes
+    byte-identical filesets to the host path."""
+    from minnow_tpu.formats import minp as minp_fmt
+    from minnow_tpu.ingest import lgadget2, snapshot
+
+    rng = np.random.default_rng(17)
+    n_side, l = 8, 50.0
+    n = n_side ** 3
+    hd = minp_fmt.Header(z=0.0, scale=1.0, omega_m=0.3, omega_l=0.7,
+                         h100=0.7, l=l, n_side=n_side, n_total=n)
+    snapshot.calc_uniform_mass(hd)
+    snap = snapshot.MockSnapshot(
+        hd, [rng.uniform(0, l * 0.99, (n, 3)).astype(np.float32)],
+        [rng.normal(0, 50, (n, 3)).astype(np.float32)],
+        [np.arange(1, n + 1)])
+    gdir = tmp_path / "gadget"
+    gdir.mkdir()
+    gh = lgadget2.LGadget2Header(time=1.0, box_size=l, omega0=0.3,
+                                 omega_lambda=0.7, hubble_param=0.7,
+                                 n_part_total=(0, n, 0, 0, 0, 0))
+    lgadget2.write_lgadget2(str(gdir), "snap_%03d.dat", snap, gh)
+
+    host_dir = tmp_path / "host"
+    dev_dir = tmp_path / "dev"
+    host_dir.mkdir()
+    dev_dir.mkdir()
+    convert_snapshot.main(["to_minp", str(gdir), str(host_dir), "2",
+                           "2", "0.001", "0.01"])
+    convert_snapshot.main(["to_minp", str(gdir), str(dev_dir), "2",
+                           "2", "0.001", "0.01", "--device"])
+    names = sorted(os.listdir(host_dir))
+    assert names == sorted(os.listdir(dev_dir)) and len(names) == 16
+    for f in names:
+        assert (host_dir / f).read_bytes() == (dev_dir / f).read_bytes(), f
+
+
 def test_minh_to_bnd_device_matches_host(catalog_env):
     """--device boundary conversion (batched device decode + encode) is
     byte-identical to the host path under a shared deterministic dither
