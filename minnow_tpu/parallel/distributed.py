@@ -29,7 +29,7 @@ __all__ = ["init_distributed", "gather_blocks", "is_coordinator",
 # coordinator config).
 _INTENT_ENV = (
     "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-    "JAX_NUM_PROCESSES", "TPU_WORKER_HOSTNAMES",
+    "JAX_NUM_PROCESSES",
 )
 # Cluster autodetect environments (SLURM, Open MPI, PMI, GKE): intent
 # only when they announce MORE THAN ONE task -- every single-task job
@@ -44,6 +44,13 @@ _INTENT_SIZE_ENV = (
 
 def _multiprocess_intent(environ) -> bool:
     if any(environ.get(v) for v in _INTENT_ENV):
+        return True
+    # TPU_WORKER_HOSTNAMES is intent only when it lists MORE THAN ONE
+    # host: single-chip TPU runtimes (e.g. the axon plugin) set it to
+    # "localhost" as a side effect of importing jax, and that must not
+    # turn a correct single-process run into a hard failure.
+    hosts = environ.get("TPU_WORKER_HOSTNAMES")
+    if hosts and len([h for h in hosts.split(",") if h.strip()]) > 1:
         return True
     for v in _INTENT_SIZE_ENV:
         val = environ.get(v)

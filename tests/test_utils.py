@@ -109,6 +109,23 @@ def test_multiprocess_gather_four_jax_processes():
     assert "multiprocess gather OK" in res.stdout
 
 
+def test_multiprocess_intent_single_worker_hostnames():
+    """Single-chip TPU runtimes set TPU_WORKER_HOSTNAMES=localhost as an
+    import side effect; one hostname must not read as multi-process
+    intent (only a multi-host list does)."""
+    from minnow_tpu.parallel import distributed
+
+    assert not distributed._multiprocess_intent({})
+    assert not distributed._multiprocess_intent(
+        {"TPU_WORKER_HOSTNAMES": "localhost"})
+    assert distributed._multiprocess_intent(
+        {"TPU_WORKER_HOSTNAMES": "host-a,host-b"})
+    assert distributed._multiprocess_intent(
+        {"JAX_COORDINATOR_ADDRESS": "localhost:1234"})
+    assert distributed._multiprocess_intent({"SLURM_NTASKS": "4"})
+    assert not distributed._multiprocess_intent({"SLURM_NTASKS": "1"})
+
+
 def test_init_distributed_propagates_intended_failures(monkeypatch):
     """A coordinator failure must not degrade silently into a wrong
     single-process run (init_distributed contract)."""
