@@ -380,14 +380,19 @@ def _dither_u_tile(ge: int, r: int, rowcol, k1, k2):
     per-block kernel, a (1, r) masked-select row for multi-block
     instances): the same codec.dither_hash_u stream as the XLA path,
     computed fused.  ge is a power of two, so the counter build is
-    shift+add only."""
+    shift+add only.  ``k1``/``k2`` are int32 (scalar or broadcastable
+    to (1, r)); the uint32 reinterpretation happens HERE, after a
+    broadcast to vector shape -- Mosaic rejects scalar tpu.bitcast
+    ("operand #0 must be vector", observed on v5e)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (ge, r), 0)
     sh = np.uint32(int(np.log2(ge)))
     c = (_bc(jnp.broadcast_to(rowcol, (ge, r)), jnp.uint32) << sh) \
         + _bc(lane, jnp.uint32)
+    k1v = _bc(jnp.broadcast_to(k1, (1, r)), jnp.uint32)
+    k2v = _bc(jnp.broadcast_to(k2, (1, r)), jnp.uint32)
     from . import codec as _codec
 
-    return _codec.dither_hash_u(c, k1, k2)
+    return _codec.dither_hash_u(c, k1v, k2v)
 
 
 def _decode_kernel_group(bits: int, G: int, dither: str, w_ref, mn_ref,
@@ -404,8 +409,7 @@ def _decode_kernel_group(bits: int, G: int, dither: str, w_ref, mn_ref,
         ge, r = q.shape
         rowcol = pl.program_id(1) * jnp.int32(r) \
             + jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
-        u = _dither_u_tile(ge, r, rowcol, _bc(k1_ref[i], jnp.uint32),
-                           _bc(k2_ref[i], jnp.uint32))
+        u = _dither_u_tile(ge, r, rowcol, k1_ref[i], k2_ref[i])
     out = _dequant_tail(q, mn_ref[i], low_ref[i], dx_ref[i],
                         pix_ref[i], per_ref[i], dither, u=u)
     out_ref[...] = out.T                             # (r, G*32) f32
@@ -449,8 +453,7 @@ def _decode_kernel_group_multi(bits: int, G: int, kpb: int, t_g: int,
             sub = jnp.where(sel, jnp.int32(u * t_g), sub)
         uarr = _dither_u_tile(
             G * 32, r, col - sub,
-            _bc(vec(k1_ref, jnp.int32(0)), jnp.uint32),
-            _bc(vec(k2_ref, jnp.int32(0)), jnp.uint32))
+            vec(k1_ref, jnp.int32(0)), vec(k2_ref, jnp.int32(0)))
 
     out = _dequant_tail(q, vec(mn_ref, jnp.int32(0)),
                         vec(low_ref, jnp.float32(0)),
