@@ -49,9 +49,13 @@ def test_outage_emits_structured_error():
 def test_budget_expiry_emits_partial_results():
     """Budget expires mid-run -> partial record with a stage marker and
     whatever detail accumulated, rc 0 (the round-3 rc=124 class)."""
+    # 75 s budget => watchdog at ~55 s: the pre-watchdog work (probe
+    # subprocess + in-process jax import + native baseline) takes ~20 s
+    # idle but flaked at a 45 s budget under a fully loaded host (the
+    # suite ran concurrently with an on-chip tune)
     rec = _run({
-        "MINNOW_TPU_BENCH_BUDGET_S": "45",
-    }, timeout=120)
+        "MINNOW_TPU_BENCH_BUDGET_S": "75",
+    }, timeout=150)
     assert rec.get("partial") is True
     assert rec["error"].startswith("bench_timeout_after_")
     assert "stage" in rec
