@@ -448,34 +448,43 @@ def bench_sustained(batches=None, b=None, n=None):
     if use_pallas:
         g = pallas_codec.group_tiles(bits)
 
+    # each jit returns a tiny sync token as its LAST output (a 1-elem
+    # slice computed in-graph): the stream loop fetches only the token,
+    # so one batch costs exactly one dispatch -- a separate host-side
+    # slice was itself a tunnel dispatch (~15 ms/batch serialized)
+    if use_pallas:
+        g = pallas_codec.group_tiles(bits)
+
         @jax.jit
         def encode(x2d, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
             words, mins, _, _ = pallas_encode.encode_float_pallas_group(
                 x2d, lowv, db, deb, dm0, dm1, pixv, periodic, bits, n)
-            return words, mins
+            return words, mins, mins[:1]
 
         per_dev = jax.device_put(periodic)
 
         @jax.jit
         def decode(w2d, mins, lowv, highv, pixv):
-            return pallas_codec.decode_float_pallas_group(
+            out = pallas_codec.decode_float_pallas_group(
                 w2d, mins, lowv, highv, pixv, per_dev, bits, n,
                 dither="none")
+            return out, out[0, :1]
     else:
         @jax.jit
         def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
             deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
                 x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
             words = bitpack.pack_batch(deltas, bits)
-            return words, mins
+            return words, mins, mins[:1]
 
         @jax.jit
         def decode(words, mins, lowv, highv, pixv):
             q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
                 + mins[:, None]
             q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
-            return codec.dequantize24(q, lowv[:, None], highv[:, None],
-                                      pixv[:, None])
+            out = codec.dequantize24(q, lowv[:, None], highv[:, None],
+                                     pixv[:, None])
+            return out, out[0, :1]
 
     # distinct resident input buffers, round-robin (forces real reads);
     # 2 buffers at the multi-GB auto-sized batch keeps inputs + the
@@ -491,9 +500,9 @@ def bench_sustained(batches=None, b=None, n=None):
                    (lowv, pixv, lens, periodic, db, deb, dm0, dm1))
 
     # warm both graphs
-    w0, m0_ = encode(xs[0], *consts)
+    w0, m0_, _ = encode(xs[0], *consts)
     dec_consts = (consts[0], jax.device_put(highv), consts[1])
-    np.asarray(decode(w0, m0_, *dec_consts)[0, :1])
+    np.asarray(decode(w0, m0_, *dec_consts)[1])
 
     window = int(os.environ.get("MINNOW_TPU_SUSTAINED_WINDOW", "3"))
     # outstanding dispatches: overlap without HBM blowup (decode holds
@@ -523,14 +532,15 @@ def bench_sustained(batches=None, b=None, n=None):
         return time.perf_counter() - t0
 
     t_enc = stream(encode, lambda i: (xs[i % n_bufs],) + consts,
-                   lambda o: o[1][:1])
+                   lambda o: o[-1])
     # decode round-robins over n_bufs distinct resident word buffers
     # (same rationale as the encode inputs: force real reads)
-    word_bufs = [jax.block_until_ready(encode(xs[i % len(xs)], *consts))
+    word_bufs = [jax.block_until_ready(
+                     encode(xs[i % len(xs)], *consts)[:2])
                  for i in range(n_bufs)]
     t_dec = stream(decode,
-                   lambda i: word_bufs[i % n_bufs] + dec_consts,
-                   lambda o: o[0, :1])
+                   lambda i: tuple(word_bufs[i % n_bufs]) + dec_consts,
+                   lambda o: o[-1])
 
     total_gb = batches * batch_bytes / 1e9
     return {"sustained_encode_GBps": round(total_gb / t_enc, 3),
