@@ -829,6 +829,35 @@ def bench_text_to_minh(rows=250_000):
                     for k, v in stages.items()}}
 
 
+def _text_to_minh_subprocess():
+    """bench_text_to_minh in a clean jax-free subprocess.
+
+    In-process, the section measured 17-78 MB/s inside a full bench run
+    but 150-228 MB/s standalone on the same (idle) host -- some state
+    the preceding device sections leave behind degrades the host-side
+    thread pools, and the CLI's real execution profile IS a fresh
+    process.  Falls back to in-process on any subprocess failure."""
+    import subprocess
+    import sys
+
+    budget = max(min(_remaining() - 60.0, 900.0), 60.0)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--section", "text_to_minh"],
+            capture_output=True, text=True, timeout=budget, env=env)
+        if p.returncode == 0:
+            for line in reversed(p.stdout.splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+    except Exception:  # noqa: BLE001 - fall through to in-process
+        pass
+    return bench_text_to_minh()
+
+
 def bench_native_baseline(n=1 << 22):
     """Single-core native C++ quantize+delta+pack (reference class)."""
     from minnow_tpu import native
@@ -1107,7 +1136,7 @@ def main():
             ("sustained", bench_sustained, 180.0),
             ("pallas_encode", bench_pallas_encode, 120.0),
             ("extra_configs", bench_extra_configs, 150.0),
-            ("text_to_minh", bench_text_to_minh, 120.0),
+            ("text_to_minh", _text_to_minh_subprocess, 120.0),
         ):
             _PARTIAL["stage"] = "bench_" + name
             if _remaining() <= min_s:
@@ -1135,4 +1164,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) == 3 and _sys.argv[1] == "--section":
+        # single-section mode (used by main() to run host-side sections
+        # in a clean subprocess); prints one JSON object for the parent
+        _fn = {"text_to_minh": bench_text_to_minh}[_sys.argv[2]]
+        print(json.dumps(_fn()))
+    else:
+        main()
