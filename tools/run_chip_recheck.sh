@@ -31,4 +31,7 @@ echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
 echo "=== r3 kernel tune $(date +%H:%M:%S) ===" >> "$LOG"
 timeout 3600 python tools/r3_kernel_tune.py >> "$LOG" 2>&1
 echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
+echo "=== every-width device sweep $(date +%H:%M:%S) ===" >> "$LOG"
+timeout 5400 python tools/r3_kernel_fuzz_soak.py --device 2 >> "$LOG" 2>&1
+echo "rc=$? $(date +%H:%M:%S)" >> "$LOG"
 echo "ALL DONE" >> "$LOG"
