@@ -1045,7 +1045,7 @@ def main():
     # graph; caching makes repeat bench runs start in seconds.
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     try:
         backend = jax.default_backend()

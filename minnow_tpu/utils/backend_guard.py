@@ -171,8 +171,12 @@ def ensure_compile_cache() -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
+        # 0.0, not a ~1 s threshold: on remote-compile (tunneled)
+        # backends jax's *measured* compile time can undershoot the
+        # threshold even when the wall-clock compile RPC takes tens of
+        # seconds, leaving the cache silently empty.
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
     except Exception:  # noqa: BLE001 - cache is an optimization only
         pass
 

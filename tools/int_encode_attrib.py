@@ -17,7 +17,7 @@ def _time(fn, *args, sync, iters=4, reps=5):
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from minnow_tpu.ops import bitpack, codec
     rng = np.random.default_rng(3)
     out = {"device": str(jax.devices()[0])}

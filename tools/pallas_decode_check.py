@@ -36,7 +36,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from minnow_tpu.core import spec
     from minnow_tpu.ops import bitpack, codec, pallas_codec

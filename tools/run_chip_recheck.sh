@@ -10,7 +10,7 @@ echo "=== validate $(date +%H:%M:%S) ===" >> "$LOG"
 timeout 4000 python -c "
 import jax
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 from minnow_tpu.ops import validate
 import json
 print(json.dumps(validate.validate_backend()))

@@ -4,7 +4,7 @@ import sys; sys.path.insert(0,'/root/repo')
 import minnow_tpu as minnow
 import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 print("backend:", jax.default_backend(), flush=True)
 
 from minnow_tpu.core import spec
