@@ -914,6 +914,24 @@ def _remaining():
     return _BUDGET_S - (time.monotonic() - _T0)
 
 
+_STAGE_T = [None, None]     # [current stage name, its start time]
+
+
+def _mark(stage):
+    """Enter a stage: record the previous stage's wall seconds in detail.
+
+    The per-section times land in ``detail["section_s"]`` so a partial
+    or slow run is diagnosable from the artifact alone (which section
+    ate the budget), without rerunning under instrumentation."""
+    now = time.monotonic()
+    if _STAGE_T[0] is not None:
+        secs = _PARTIAL["detail"].setdefault("section_s", {})
+        secs[_STAGE_T[0]] = round(
+            secs.get(_STAGE_T[0], 0.0) + (now - _STAGE_T[1]), 1)
+    _STAGE_T[0], _STAGE_T[1] = stage, now
+    _PARTIAL["stage"] = stage
+
+
 def _emit(partial, error=None):
     """Print the ONE structured JSON line from current _PARTIAL state.
 
@@ -1022,7 +1040,7 @@ def main():
     watchdog.daemon = True
     watchdog.start()
 
-    _PARTIAL["stage"] = "probe"
+    _mark("probe")
     backend = None
     for i in range(attempts):
         t = min(probe_timeout, max(_remaining() - 30.0, 5.0))
@@ -1038,7 +1056,7 @@ def main():
             _emit(partial=False, error="tpu_unavailable")
         return
 
-    _PARTIAL["stage"] = "backend_init"
+    _mark("backend_init")
     import jax
 
     # Persistent compile cache: axon remote compiles run ~1-3 min per
@@ -1066,7 +1084,7 @@ def main():
 
         # Host-side native baseline first: cheap (~seconds, no jax), and it
         # makes vs_baseline computable the moment the headline slopes land.
-        _PARTIAL["stage"] = "native_baseline"
+        _mark("native_baseline")
         try:
             base = bench_native_baseline()
             if base:
@@ -1074,7 +1092,7 @@ def main():
         except Exception as e:  # noqa: BLE001 - baseline is best-effort
             detail["native_baseline_error"] = str(e)[:120]
 
-        _PARTIAL["stage"] = "validate"
+        _mark("validate")
         from minnow_tpu.ops import validate
 
         report = validate.validate_backend()
@@ -1096,7 +1114,7 @@ def main():
         # Headline slopes FIRST (VERDICT r3 next #1c): if the budget dies
         # anywhere past this point, the partial record still has the
         # encode/decode numbers the whole artifact exists to capture.
-        _PARTIAL["stage"] = "bench_device"
+        _mark("bench_device")
         try:
             enc_gbs, dec_gbs, gb, extra = bench_device()
         except AssertionError as e:
@@ -1111,7 +1129,7 @@ def main():
         detail["decode_GBps"] = round(dec_gbs, 3)
         _update_headline()
 
-        _PARTIAL["stage"] = "bench_big_blocks"
+        _mark("bench_big_blocks")
         if _remaining() > 150.0:
             try:
                 big = bench_big_blocks()
@@ -1138,7 +1156,7 @@ def main():
             ("extra_configs", bench_extra_configs, 150.0),
             ("text_to_minh", _text_to_minh_subprocess, 120.0),
         ):
-            _PARTIAL["stage"] = "bench_" + name
+            _mark("bench_" + name)
             if _remaining() <= min_s:
                 detail.setdefault("skipped_sections", []).append(name)
                 continue
@@ -1147,7 +1165,7 @@ def main():
             except Exception as e:  # noqa: BLE001 - secondary, best-effort
                 detail["%s_error" % name] = str(e)[:120]
 
-        _PARTIAL["stage"] = "done"
+        _mark("done")
     except Exception as e:  # noqa: BLE001 - emit, never traceback
         with _out_lock:
             if not _done.is_set():
