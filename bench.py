@@ -46,7 +46,7 @@ class _Timed(float):
         return self.reps[-1] / self.reps[0] if self.reps[0] > 0 else 0.0
 
 
-def _time(fn, *args, iters=3, reps=6, sync=lambda out: out[1]):
+def _time(fn, *args, iters=2, reps=5, sync=lambda out: out[1]):
     """Best-of-reps average seconds per call, synchronized by downloading
     a small output each iteration (block_until_ready on the tunneled
     device returns before remote completion; a device->host fetch does
@@ -54,7 +54,14 @@ def _time(fn, *args, iters=3, reps=6, sync=lambda out: out[1]):
     syncs immediately: at multi-GB shapes holding several outputs in
     flight exhausts the 16 GB HBM, and the serialized per-dispatch
     round-trip floor is identical at both slope sizes so it cancels.
-    Returns a _Timed (float subclass) carrying the full rep list."""
+    Returns a _Timed (float subclass) carrying the full rep list.
+
+    iters=2/reps=5 (12 dispatches per point, was 20): section timings
+    showed the full run cannot fit the 19-min budget at 20 dispatches
+    per point once co-tenant load slows the chip -- the late sections
+    (uniform-dither decode, int encode, text_to_minh) were budget-gated
+    out of three consecutive full runs.  Median/spread over 5 reps
+    still separates tenancy noise from regressions."""
     np.asarray(sync(fn(*args)))  # warmup / compile
     np.asarray(sync(fn(*args)))  # settle placement
     times = []
@@ -433,8 +440,10 @@ def bench_sustained(batches=None, b=None, n=None):
         else:
             b = 64
     if batches is None:
-        # total streamed volume ~12 GB (or >= 6 dispatches)
-        batches = max(6, int(12e9 / (b * n * 4)))
+        # total streamed volume ~8 GB (or >= 6 dispatches) -- enough to
+        # amortize warmup against the 1 GB/dispatch auto-sizing while
+        # fitting the section inside the bench budget
+        batches = max(6, int(8e9 / (b * n * 4)))
     rng = np.random.default_rng(2)
     lowv = np.full(b, low, np.float32)
     highv = np.full(b, high, np.float32)
@@ -1150,11 +1159,15 @@ def main():
 
         # Long tail: each section is optional, budget-gated, and lands its
         # numbers in detail immediately on completion.
+        # Production numbers first (uniform-dither decode is the DEFAULT
+        # read mode; int/ID encode and text_to_minh are real pipelines);
+        # the legacy per-tile encode section runs last -- it exists only
+        # as a historical comparison point.
         for name, fn, min_s in (
-            ("sustained", bench_sustained, 180.0),
-            ("pallas_encode", bench_pallas_encode, 120.0),
             ("extra_configs", bench_extra_configs, 150.0),
+            ("sustained", bench_sustained, 180.0),
             ("text_to_minh", _text_to_minh_subprocess, 120.0),
+            ("pallas_encode", bench_pallas_encode, 120.0),
         ):
             _mark("bench_" + name)
             if _remaining() <= min_s:
