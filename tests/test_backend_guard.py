@@ -118,3 +118,27 @@ def test_probe_assume_escape_hatch(monkeypatch, assume):
 
     monkeypatch.setenv("MINNOW_TPU_BACKEND_ASSUME", assume)
     assert backend_guard.probe() == assume
+
+
+def test_compile_cache_threshold_is_zero(tmp_path, monkeypatch):
+    """ensure_compile_cache must set min_compile_time to 0: on
+    remote-compile (tunneled) backends jax's measured compile time can
+    undershoot a ~1 s threshold even when the compile RPC takes tens
+    of wall-clock seconds, leaving the persistent cache silently empty
+    (observed: every bench run re-paid every compile all round)."""
+    import jax
+
+    from minnow_tpu.utils import backend_guard
+
+    monkeypatch.setenv("MINNOW_TPU_COMPILE_CACHE", str(tmp_path / "jc"))
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        backend_guard.ensure_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "jc")
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min)
