@@ -142,3 +142,28 @@ def test_compile_cache_threshold_is_zero(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", old_min)
+
+
+def test_compile_cache_captures_entries(tmp_path):
+    """End-to-end: a jit compile under ensure_compile_cache must land a
+    serialized executable on disk.  The config-level test above cannot
+    catch a capture regression (round 4's silently-empty cache passed
+    every config check -- the threshold gating happened at write time),
+    so this one compiles for real in a child process and counts files."""
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['MINNOW_TPU_COMPILE_CACHE'] = %r\n"
+        "from minnow_tpu.utils import backend_guard\n"
+        "backend_guard.ensure_compile_cache()\n"
+        "import jax, jax.numpy as jnp\n"
+        "print(jax.jit(lambda x: (x * 3 + 1).sum())"
+        "(jnp.arange(97.0)).item())\n" % str(tmp_path / "jc")
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=180,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    entries = [f for f in os.listdir(tmp_path / "jc")
+               if not f.startswith(".")]
+    assert entries, "no persistent-cache entry written by a real compile"
