@@ -46,6 +46,35 @@ class _Timed(float):
         return self.reps[-1] / self.reps[0] if self.reps[0] > 0 else 0.0
 
 
+def _min_timed(a, b):
+    """Combine two _Timed measurements of the same quantity: best of
+    both passes, pooled rep distribution.  None-propagating (a path
+    disabled in one pass stays whatever the other pass saw)."""
+    if a is None or b is None:
+        return a if b is None else b
+    return _Timed(min(float(a), float(b)), a.reps + b.reps)
+
+
+# Peak HBM bandwidth per device generation (GB/s, vendor-published).
+# Used as a physical ceiling on slope-based throughput numbers: a slope
+# that implies more HBM traffic than the memory system can move is a
+# measurement artifact by definition, never a real kernel speed.
+_HBM_GBPS = (
+    ("TPU v6 lite", 1640.0), ("TPU v6e", 1640.0),
+    ("TPU v5 lite", 819.0), ("TPU v5e", 819.0),
+    ("TPU v5p", 2765.0), ("TPU v5", 2765.0),
+    ("TPU v4 lite", 614.0), ("TPU v4", 1228.0),
+    ("TPU v3", 900.0), ("TPU v2", 700.0),
+)
+
+
+def _hbm_bw(device_kind):
+    for prefix, bw in _HBM_GBPS:
+        if str(device_kind).startswith(prefix):
+            return bw
+    return None
+
+
 def _time(fn, *args, iters=2, reps=5, sync=lambda out: out[1]):
     """Best-of-reps average seconds per call, synchronized by downloading
     a small output each iteration (block_until_ready on the tunneled
@@ -222,6 +251,24 @@ def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
                                                    low, high, dx)
     te2, td2, tpe2, tp2, by2, tpec2 = _bench_shape(b_large, n_blk, bits,
                                                    low, high, dx)
+    # Temporal-adjacency re-measure (honesty guard): the two shape
+    # passes sit minutes apart when compiles are cold, so under
+    # co-tenant drift they can land in different load regimes; a
+    # small-point time inflated by contention inflates the slope
+    # estimator (observed 2026-08-20: a "1120 GB/s" decode slope, 2.1x
+    # past the 524 GB/s HBM ceiling at this width).  Re-measuring the
+    # small point right after the large pass and taking the per-path
+    # best of both passes can only LOWER slopes (the t2-t1 denominator
+    # grows), never raise them.  Everything is already compiled, so
+    # this costs dispatches only; skipped when the budget is tight.
+    if _remaining() > 180.0:
+        te1b, td1b, tpe1b, tp1b, _, tpec1b = _bench_shape(
+            b_small, n_blk, bits, low, high, dx)
+        te1 = _min_timed(te1, te1b)
+        td1 = _min_timed(td1, td1b)
+        tpe1 = _min_timed(tpe1, tpe1b)
+        tp1 = _min_timed(tp1, tp1b)
+        tpec1 = _min_timed(tpec1, tpec1b)
     enc_xla = _safe_slope(by1, by2, te1, te2)
     dec_xla = _safe_slope(by1, by2, td1, td2)
     extra = {
@@ -261,7 +308,38 @@ def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
     # the whole run (XLA paths normally repeat within ~10%)
     extra["encode_xla_rep_spread"] = round(te2.spread, 2)
     extra["decode_xla_rep_spread"] = round(td2.spread, 2)
+    cap = _cap_to_hbm(extra, bits)
+    if cap is not None:
+        enc_gbs = min(enc_gbs, cap)
+        dec_gbs = min(dec_gbs, cap)
     return enc_gbs, dec_gbs, by2 / 1e9, extra
+
+
+def _cap_to_hbm(d, bits):
+    """Cap every slope number in ``d`` at the HBM traffic-model ceiling.
+
+    Both codec directions move 4 B of f32 plus bits/8 packed bytes per
+    element across HBM while the metric counts the 4 B side, so no
+    honest number can exceed HBM_BW * 4/(4 + bits/8) -- 524 GB/s on
+    v5e at 18 bits.  A slope above that is residual estimator noise
+    (co-tenant drift between the two timing points); the reported
+    number takes the cap and the raw value is preserved under *_raw
+    for diagnosis.  Returns the cap (None off-TPU / unknown device)."""
+    import jax
+
+    hbm = _hbm_bw(jax.devices()[0].device_kind)
+    if not hbm:
+        return None
+    cap = hbm * 4.0 / (4.0 + bits / 8.0)
+    d["hbm_slope_cap_GBps"] = round(cap, 1)
+    for k in [k for k in d
+              if k.endswith("_GBps") or k.endswith("_GBps_med")]:
+        v = d[k]
+        if isinstance(v, (int, float)) and v > cap:
+            d[k + "_raw"] = v
+            d[k] = round(cap, 1)
+            d.setdefault("hbm_capped", []).append(k)
+    return cap
 
 
 def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
@@ -375,6 +453,10 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
             _safe_slope(db1 * n * 4, db2 * n * 4, t1, t2), 3)
         out["bigblock_decode_shape"] = "(%d->%d, %d)" % (db1, db2, n)
     out["bigblock_shape"] = "(%d->%d, %d)" % (b_small, b_large, n)
+    _cap_to_hbm(out, bits)
+    out.pop("hbm_slope_cap_GBps", None)  # already reported by bench_device
+    if "hbm_capped" in out:  # don't collide with bench_device's list
+        out["hbm_capped_bigblock"] = out.pop("hbm_capped")
     return out
 
 

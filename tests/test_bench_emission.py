@@ -88,3 +88,50 @@ def test_midrun_raise_emits_partial_results():
     rec = json.loads(lines[0])
     assert rec.get("partial") is True
     assert "simulated relay death" in rec["error"]
+
+
+def test_hbm_slope_cap_and_min_timed():
+    """The slope honesty guards: _cap_to_hbm must replace any slope
+    past the HBM traffic-model ceiling with the cap (raw preserved),
+    and _min_timed must pool two _Timed passes taking the best.  Pure
+    helpers -- no device needed (observed trigger: a 1120 GB/s decode
+    "slope" on a v5e whose ceiling at 18 bits is 524 GB/s)."""
+    import sys
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert bench._hbm_bw("TPU v5 lite") == 819.0
+    assert bench._hbm_bw("TPU v5p and more text") == 2765.0
+    assert bench._hbm_bw("cpu") is None
+
+    a = bench._Timed(0.010, [0.010, 0.014, 0.030])
+    b = bench._Timed(0.008, [0.008, 0.020])
+    m = bench._min_timed(a, b)
+    assert float(m) == 0.008 and len(m.reps) == 5
+    assert bench._min_timed(a, None) is a
+    assert bench._min_timed(None, None) is None
+
+    d = {"decode_pallas_group_GBps": 1120.781,
+         "decode_pallas_group_GBps_med": 810.9,
+         "encode_pallas_group_GBps": 64.6,
+         "bench_shape": "(256->4096, 131072)"}
+
+    class _FakeDev:
+        device_kind = "TPU v5 lite"
+
+    real_devices = None
+    import jax
+    real_devices = jax.devices
+    try:
+        jax.devices = lambda *a, **k: [_FakeDev()]
+        cap = bench._cap_to_hbm(d, 18)
+    finally:
+        jax.devices = real_devices
+    assert abs(cap - 819.0 * 4 / 6.25) < 1e-6
+    assert d["decode_pallas_group_GBps"] == round(cap, 1)
+    assert d["decode_pallas_group_GBps_raw"] == 1120.781
+    assert d["decode_pallas_group_GBps_med"] == round(cap, 1)
+    assert d["encode_pallas_group_GBps"] == 64.6   # under the cap: kept
+    assert "encode_pallas_group_GBps_raw" not in d
+    assert set(d["hbm_capped"]) == {"decode_pallas_group_GBps",
+                                    "decode_pallas_group_GBps_med"}
