@@ -331,7 +331,9 @@ def _cap_to_hbm(d, bits):
     if not hbm:
         return None
     cap = hbm * 4.0 / (4.0 + bits / 8.0)
-    d["hbm_slope_cap_GBps"] = round(cap, 1)
+    # Cap the measurement keys FIRST: the cap entry itself rounds up
+    # (524.16 -> 524.2 on v5e at 18 bits) and must never self-flag by
+    # appearing in the iteration set (round-4 artifact pollution).
     for k in [k for k in d
               if k.endswith("_GBps") or k.endswith("_GBps_med")]:
         v = d[k]
@@ -339,6 +341,7 @@ def _cap_to_hbm(d, bits):
             d[k + "_raw"] = v
             d[k] = round(cap, 1)
             d.setdefault("hbm_capped", []).append(k)
+    d["hbm_slope_cap_GBps"] = round(cap, 1)
     return cap
 
 
