@@ -157,12 +157,18 @@ class Reader:
         t2 = _time.perf_counter()
 
         col_idx = [self._name_index(n) for n in names]
+        # integer columns take the exact int64 parse path (reference
+        # strconv.Atoi, ref go/text/parse.go:118-121): IDs above 2^53
+        # keep their low bits, and float syntax in an int column errors
+        kinds = [1 if np.issubdtype(np.dtype(d), np.integer) else 0
+                 for d in dtypes]
         cols = native.parse_columns(buf, starts, ends, col_idx,
                                     threads=self.threads,
-                                    sep=self.config.separator)
+                                    sep=self.config.separator,
+                                    kinds=kinds)
         out = {}
         for name, dtype, col in zip(names, dtypes, cols):
-            out[name] = col.astype(dtype)
+            out[name] = col if col.dtype == dtype else col.astype(dtype)
         if self.timer is not None:
             t3 = _time.perf_counter()
             self.timer.add("read", t1 - t0, len(buf))

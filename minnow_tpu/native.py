@@ -29,12 +29,17 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    # Always invoke make: its fastbits.cpp dependency makes this a no-op
+    # when the .so is fresh and a rebuild when the source moved past a
+    # stale build/ left by an older checkout.  Best-effort -- with no
+    # compiler we still load whatever .so exists.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    except Exception:
+        pass
     if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        except Exception:
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -56,6 +61,14 @@ def _load():
         ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, i64,
         ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_int, ctypes.c_char]
     lib.mnw_parse_columns.restype = i64
+    try:  # absent only in a stale pre-round-5 .so with no compiler
+        lib.mnw_parse_columns_typed.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, i64,
+            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_char]
+        lib.mnw_parse_columns_typed.restype = i64
+    except AttributeError:
+        pass
     lib.mnw_scan_lines.argtypes = [
         ctypes.c_char_p, i64, ctypes.c_char, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int]
@@ -185,8 +198,11 @@ def scan_lines(buf: bytes, comment: bytes = b"#", threads: int = 0):
 
 
 def parse_columns(buf: bytes, line_starts, line_ends, col_idx,
-                  threads: int = 0, sep: bytes = b" "):
-    """Parse the given column indices of every line into float64 arrays.
+                  threads: int = 0, sep: bytes = b" ", kinds=None):
+    """Parse the given column indices of every line.  ``kinds`` gives a
+    per-column parse mode: 0 (default) -> float64; 1 -> exact int64
+    (reference strconv.Atoi semantics, ref go/text/parse.go:118-121 --
+    exact above 2^53, rejects float syntax, errors on overflow).
     Returns a list of arrays, or raises ValueError naming the bad line.
     The native equivalent of the reference's threaded parse loops
     (ref go/text/parse.go:80-174)."""
@@ -195,27 +211,51 @@ def parse_columns(buf: bytes, line_starts, line_ends, col_idx,
     line_ends = np.ascontiguousarray(line_ends, dtype=np.int64)
     col_idx = np.ascontiguousarray(col_idx, dtype=np.int64)
     n_lines = line_starts.shape[0]
-    outs = [np.empty(n_lines, dtype=np.float64) for _ in col_idx]
-    if lib is None:
-        return _parse_columns_py(buf, line_starts, line_ends, col_idx, outs)
+    if kinds is None:
+        kinds = [0] * len(col_idx)
+    kinds = np.ascontiguousarray(kinds, dtype=np.int64)
+    outs = [np.empty(n_lines, dtype=np.int64 if k == 1 else np.float64)
+            for k in kinds]
+    if lib is None or (kinds.any()
+                       and not hasattr(lib, "mnw_parse_columns_typed")):
+        return _parse_columns_py(buf, line_starts, line_ends, col_idx,
+                                 kinds, outs)
     ptrs = (ctypes.c_void_p * len(outs))(
         *[o.ctypes.data for o in outs])
-    res = lib.mnw_parse_columns(
-        buf, line_starts.ctypes.data, line_ends.ctypes.data, n_lines,
-        col_idx.ctypes.data, len(col_idx), ptrs,
-        threads or os.cpu_count(), sep)
+    if kinds.any():
+        res = lib.mnw_parse_columns_typed(
+            buf, line_starts.ctypes.data, line_ends.ctypes.data, n_lines,
+            col_idx.ctypes.data, kinds.ctypes.data, len(col_idx), ptrs,
+            threads or os.cpu_count(), sep)
+    else:
+        res = lib.mnw_parse_columns(
+            buf, line_starts.ctypes.data, line_ends.ctypes.data, n_lines,
+            col_idx.ctypes.data, len(col_idx), ptrs,
+            threads or os.cpu_count(), sep)
     if res != 0:
         raise ValueError("cannot parse requested columns on line %d"
                          % (res - 1))
     return outs
 
 
-def _parse_columns_py(buf, line_starts, line_ends, col_idx, outs):
+def _parse_columns_py(buf, line_starts, line_ends, col_idx, kinds, outs):
     for li in range(line_starts.shape[0]):
         fields = buf[line_starts[li]:line_ends[li]].split()
         for c, ci in enumerate(col_idx):
             if ci >= len(fields):
                 raise ValueError(
                     "cannot parse requested columns on line %d" % li)
-            outs[c][li] = float(fields[ci])
+            try:
+                if kinds[c] == 1:
+                    if b"_" in fields[ci]:  # int() allows, Atoi doesn't
+                        raise ValueError("underscore")
+                    v = int(fields[ci])  # exact; rejects float syntax
+                    if not (-(1 << 63) <= v < (1 << 63)):
+                        raise ValueError("int64 overflow")
+                    outs[c][li] = v
+                else:
+                    outs[c][li] = float(fields[ci])
+            except ValueError:
+                raise ValueError(
+                    "cannot parse requested columns on line %d" % li)
     return outs

@@ -324,9 +324,40 @@ static inline bool fast_field_to_double(const char* s, int64_t len,
     return true;
 }
 
+// Exact base-10 int64 parse (reference strconv.Atoi semantics, ref
+// go/text/parse.go:118-121): optional sign, >= 1 digits, nothing else.
+// Exact at every magnitude inside int64 (IDs above 2^53 keep their low
+// bits); float syntax ("1.5", "1e5"), junk, and overflow all fail --
+// never a silent truncation or wrap.
+static inline bool field_to_int64(const char* s, int64_t len,
+                                  int64_t* out) {
+    const char* p = s;
+    const char* end = s + len;
+    if (p >= end) return false;
+    bool neg = false;
+    if (*p == '-' || *p == '+') {
+        neg = (*p == '-');
+        p++;
+    }
+    if (p >= end) return false;
+    uint64_t v = 0;
+    const uint64_t lim = neg ? (1ULL << 63) : (1ULL << 63) - 1;
+    while (p < end) {
+        char c = *p;
+        if (c < '0' || c > '9') return false;
+        uint64_t d = (uint64_t)(c - '0');
+        if (v > (lim - d) / 10) return false;  // would exceed int64
+        v = v * 10 + d;
+        p++;
+    }
+    *out = (int64_t)(neg ? (0 - v) : v);  // two's-complement negate
+    return true;
+}
+
 static int64_t parse_lines_range(
     const char* buf, const int64_t* line_starts, const int64_t* line_ends,
-    int64_t l0, int64_t l1, const int64_t* col_idx, int64_t n_cols,
+    int64_t l0, int64_t l1, const int64_t* col_idx,
+    const int64_t* col_kind, int64_t n_cols,
     int64_t max_col, double** out, int64_t n_lines, char sep) {
     std::vector<const char*> fields(max_col + 1);
     std::vector<int64_t> flen(max_col + 1);
@@ -346,6 +377,14 @@ static int64_t parse_lines_range(
         for (int64_t c = 0; c < n_cols; c++) {
             int64_t ci = col_idx[c];
             if (ci >= nf) return 1 + li;
+            if (col_kind != nullptr && col_kind[c] == 1) {
+                // int64 column: exact integer parse, no float detour
+                int64_t iv;
+                if (!field_to_int64(fields[ci], flen[ci], &iv))
+                    return 1 + li;
+                ((int64_t*)out[c])[li] = iv;
+                continue;
+            }
             double v;
             if (!fast_field_to_double(fields[ci], flen[ci], &v)) {
                 // slow path: NUL-terminate a copy for strtod
@@ -563,17 +602,20 @@ int64_t mnw_scan_lines(const char* buf, int64_t n, char comment,
     return total;
 }
 
-int64_t mnw_parse_columns(const char* buf, const int64_t* line_starts,
-                          const int64_t* line_ends, int64_t n_lines,
-                          const int64_t* col_idx, int64_t n_cols,
-                          double** out, int threads, char sep) {
+// col_kind (may be NULL = all float64): 0 -> float64 out, 1 -> the out
+// slot is an int64 buffer filled by the exact integer parser.
+int64_t mnw_parse_columns_typed(
+    const char* buf, const int64_t* line_starts, const int64_t* line_ends,
+    int64_t n_lines, const int64_t* col_idx, const int64_t* col_kind,
+    int64_t n_cols, double** out, int threads, char sep) {
     if (n_lines <= 0 || n_cols <= 0) return 0;
     int64_t max_col = 0;
     for (int64_t c = 0; c < n_cols; c++)
         max_col = std::max(max_col, col_idx[c]);
     if (threads <= 1 || n_lines < 1024) {
         return parse_lines_range(buf, line_starts, line_ends, 0, n_lines,
-                                 col_idx, n_cols, max_col, out, n_lines, sep);
+                                 col_idx, col_kind, n_cols, max_col, out,
+                                 n_lines, sep);
     }
     int64_t chunk = (n_lines + threads - 1) / threads;
     std::vector<std::thread> ts;
@@ -584,13 +626,22 @@ int64_t mnw_parse_columns(const char* buf, const int64_t* line_starts,
         int64_t* res = &results[w];
         ts.emplace_back([=]() {
             *res = parse_lines_range(buf, line_starts, line_ends, start, end,
-                                     col_idx, n_cols, max_col, out, n_lines,
-                                     sep);
+                                     col_idx, col_kind, n_cols, max_col, out,
+                                     n_lines, sep);
         });
     }
     for (auto& t : ts) t.join();
     for (int64_t r : results) if (r != 0) return r;
     return 0;
+}
+
+int64_t mnw_parse_columns(const char* buf, const int64_t* line_starts,
+                          const int64_t* line_ends, int64_t n_lines,
+                          const int64_t* col_idx, int64_t n_cols,
+                          double** out, int threads, char sep) {
+    return mnw_parse_columns_typed(buf, line_starts, line_ends, n_lines,
+                                   col_idx, nullptr, n_cols, out, threads,
+                                   sep);
 }
 
 }  // extern "C"

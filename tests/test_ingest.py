@@ -76,6 +76,40 @@ def test_text_column_out_of_range():
         rd.block(0, ["c"])
 
 
+def test_text_int64_exact_above_2p53():
+    """Int columns parse integer-exactly at all magnitudes (reference
+    strconv.Atoi, ref go/text/parse.go:118-121): IDs above 2^53 must
+    keep their low bits -- a float64 detour would silently zero them."""
+    ids = np.array([2**53 + 1, 2**53 + 3, 2**62 + 12345,
+                    -(2**60 + 7), 9223372036854775807,
+                    -9223372036854775808, 0, 42], dtype=np.int64)
+    buf = b"".join(b"%d 1.5\n" % i for i in ids)
+    for threads in (1, 4):
+        rd = text.open_from_bytes(buf)
+        rd.set_names(["id", "x"])
+        rd.set_threads(threads)
+        out = rd.block(0, ["id"], [np.int64])
+        np.testing.assert_array_equal(out["id"], ids)
+
+
+def test_text_int64_rejects_float_syntax_and_overflow():
+    """Float syntax in an int column is an error, never a truncation;
+    so is overflow past int64 (reference strconv.Atoi semantics)."""
+    for bad in (b"0 1.0\n1.5 2.0\n",          # float literal
+                b"1e3 2.0\n",                  # exponent
+                b"9223372036854775808 2.0\n",  # int64 overflow
+                b"12a4 2.0\n"):                # junk
+        rd = text.open_from_bytes(bad)
+        rd.set_names(["id", "x"])
+        with pytest.raises(ValueError, match="line"):
+            rd.block(0, ["id"], [np.int64])
+    # the same fields are fine as FLOAT columns
+    rd = text.open_from_bytes(b"0 1.0\n1.5 2.0\n")
+    rd.set_names(["id", "x"])
+    out = rd.block(0, ["id"], [np.float32])
+    np.testing.assert_allclose(out["id"], [0.0, 1.5])
+
+
 # ---------------------------------------------------------------------------
 # rockstar dialects (ref go/text/text_test.go:175-208)
 # ---------------------------------------------------------------------------
