@@ -67,7 +67,11 @@ def read_floats(reader: minh_mod.Reader, names, dither: str = "uniform",
                     words[row] = bitpack.bytes_to_words(payload, bits, n)
                 mins[row] = mn
                 lows[row], highs[row], pixels[row], periodic[row] = params
-            block_ids = np.asarray(ids, np.int64)
+            # dither keys use the CONTAINER block index -- the same id
+            # the host reader passes (core/reader.py data(b)), so host
+            # and device uniform-dither reads agree bitwise
+            block_ids = np.asarray(
+                [reader._block_idx(c, b) for b in ids], np.int64)
             # all-native-width decode when every bound fits (the common
             # case); bit-identical to the generic path
             fast = (bits <= 32 and pixels.max() <= (1 << 24)

@@ -106,9 +106,12 @@ def dequantize(q, low, high, pixels, u=None):
     (ref go/group.go:299-310): ``out = dx*f32(q+u) + low``.
 
     With ``u=None`` (mode "none") this is bit-identical to the host
-    reader.  Dithered device modes compute ``q+u`` in float32 (TPU f64 is
-    not reliably available); the decoded-value contract ``|x-x_hat|<=dx``
-    is unaffected, and dither streams are device/host-specific by design
+    reader.  Dithered modes compute ``q+u`` in float32 (TPU f64 is not
+    reliably available): for q < 2^24 (every realistic config, the
+    dequantize24 fast path) that equals the host's single f64 rounding
+    bit-for-bit; above it only the decoded-value contract
+    ``|x-x_hat|<=dx`` is promised.  The uniform dither STREAM itself is
+    one defined sequence shared bitwise by host and device
     (core/dither.py)."""
     dx = _dx64(low, high, pixels)
     if u is None:
@@ -387,8 +390,10 @@ def dither_keys(block_ids, seed):
     each other, so block streams are not fully independent functions
     of the id.  Harmless for the |x - x_hat| <= dx contract (each
     element's draw is still uniform); callers needing cross-block
-    stream independence should use the host (Philox) read path.
-    Returns (k1, k2) uint32 (B,) arrays."""
+    stream independence can use the legacy dither="philox" host mode.
+    The host reader computes this same key schedule in pure numpy
+    (core/dither._np_fold_in), so host and device uniform reads agree
+    bitwise.  Returns (k1, k2) uint32 (B,) arrays."""
     base = jax.random.PRNGKey(seed)
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(block_ids)
     return keys[:, 0], keys[:, 1]
@@ -408,8 +413,9 @@ def dither_hash_u(c, k1, k2):
     path and the Mosaic kernel; u32*u32 keeps only the exact wrapping
     low product.  The dither contract is unchanged: deterministic in
     (seed, block_id, element), uniform on the 2^23 grid,
-    ``|x - x_hat| <= dx`` (dither streams are device/host-specific by
-    design, core/dither.py)."""
+    ``|x - x_hat| <= dx``.  The host reader computes this exact stream
+    in pure numpy (core/dither._np_hash_u), so host and device uniform
+    reads of the same file agree bitwise."""
     x = (c + k2) ^ k1
     x = x ^ (x >> np.uint32(16))
     x = x * np.uint32(0x21F0AAAD)

@@ -221,3 +221,38 @@ def test_decode_float_blocks_uniform_dither_in_pixel():
         np.arange(b, dtype=np.int64), 10, n, dither="uniform"))
     np.testing.assert_array_equal(a, b2)  # deterministic
     assert np.all(np.abs(a - x) <= 0.1 * (1 + 1e-4))
+
+
+def test_numpy_dither_twins_match_jax_bitwise():
+    """core/dither's pure-numpy threefry fold_in + lowbias32 hash must
+    equal the jax device stream bit-for-bit (ONE defined uniform
+    stream, docs/FORMAT.md section 6).  The host reader never imports
+    jax, so this equivalence is what makes host and device uniform
+    reads of the same file agree bitwise."""
+    import jax
+
+    from minnow_tpu.core import dither
+
+    ids = np.array([0, 1, 2, 5, 1000, 2**31, 2**32 - 1, 3_141_592_653],
+                   dtype=np.int64)
+    for seed in (0, 1, 123456789, 2**40 + 3):
+        base = jax.random.PRNGKey(seed)
+        kj = jax.vmap(lambda i: jax.random.fold_in(base, i))(ids)
+        k1n, k2n = dither._np_fold_in(seed, ids)
+        np.testing.assert_array_equal(np.asarray(kj[:, 0]), k1n)
+        np.testing.assert_array_equal(np.asarray(kj[:, 1]), k2n)
+
+    c = np.arange(4096, dtype=np.uint32)
+    k1, k2 = dither._np_fold_in(3, np.arange(8))
+    for i in range(8):
+        uj = np.asarray(jax.jit(codec.dither_hash_u)(
+            c, np.uint32(k1[i]), np.uint32(k2[i])))
+        un = dither._np_hash_u(c, k1[i], k2[i])
+        np.testing.assert_array_equal(uj.view(np.uint32),
+                                      un.view(np.uint32))
+
+    u = dither.dither_u("uniform", 0, 5, 1 << 14)
+    assert u.dtype == np.float32
+    assert (u >= 0).all() and (u < 1).all()
+    # statistically uniform enough for the coarse bench/test bound
+    assert abs(float(u.mean()) - 0.5) < 0.02
