@@ -137,22 +137,61 @@ def barrier(name: str = "minnow_barrier") -> None:
     mhu.sync_global_devices(name)
 
 
-def gather_blocks(enc: EncodedBlocks) -> EncodedBlocks:
-    """All-gather per-host encoded blocks into the global writer order
-    (process-major).  Returns the full EncodedBlocks on every process;
-    typically only process 0 then writes.
+def _kv_client():
+    """The jax.distributed coordination-service KV client (None when
+    uninitialized / unavailable)."""
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client
+    except Exception:  # noqa: BLE001 - private API moved
+        return None
 
-    Handles *unequal* per-process block counts.  Payloads travel as ONE
-    concatenated byte stream per process padded to the max per-process
-    total (not per-block max): with one incompressible block among many
-    well-compressed ones, overhead is bounded by the per-process total
-    imbalance rather than inflating every row to the worst block
+
+# Per-process gather sequence number: all processes call gather_blocks
+# in the same order (it is a collective), so the counter is globally
+# consistent and keys from successive gathers never collide.
+_GATHER_SEQ = [0]
+
+# KV values go through one gRPC message each; chunk well under common
+# 4 MB message limits.
+_KV_CHUNK = 2 << 20
+
+
+def gather_blocks(enc: EncodedBlocks, mode: str = None) -> EncodedBlocks:
+    """Gather per-host encoded blocks into the global writer order
+    (process-major), for the single coordinator-written file
     (ref writer order contract: go/block_index.go:16-23).
+
+    Two transports:
+
+    * ``"gather"`` (coordinator-only, the default at process_count > 4):
+      every process ships its payload stream + metadata ONCE to the
+      coordination service over the already-established jax.distributed
+      channel; per-host traffic is O(local bytes) and only the
+      coordinator materializes the global stream.  Returns the full
+      EncodedBlocks on the coordinator and **None** everywhere else.
+    * ``"allgather"`` (the default at process_count <= 4): the round-4
+      payload allgather -- every process receives every byte, O(P x
+      total bytes) DCN traffic.  Kept as the small-P fallback and for
+      callers that need the result on every process.
+
+    ``mode=None`` picks automatically; pass explicitly to force either.
+    Handles *unequal* per-process block counts; in allgather mode
+    payloads travel as ONE concatenated byte stream per process padded
+    to the max per-process total (not per-block max), so overhead is
+    bounded by the per-process total imbalance.
     """
     import jax
 
     if jax.process_count() == 1:
         return enc
+    if mode is None:
+        mode = ("gather" if jax.process_count() > 4
+                and _kv_client() is not None else "allgather")
+    if mode == "gather":
+        return _gather_to_coordinator(enc)
+    if mode != "allgather":
+        raise ValueError("unknown gather mode %r" % mode)
 
     from jax.experimental import multihost_utils as mhu
 
@@ -202,3 +241,83 @@ def gather_blocks(enc: EncodedBlocks) -> EncodedBlocks:
                          np.concatenate(mins),
                          np.concatenate(bits),
                          np.concatenate(lens))
+
+
+def _pack_shard(enc: EncodedBlocks) -> bytes:
+    """One self-describing byte blob per process: block count, then the
+    (4, B) int64 metadata (sizes, mins, bits, lens), then the
+    concatenated payload stream."""
+    b_local = len(enc.payloads)
+    meta = np.empty((4, b_local), np.int64)
+    meta[0] = enc.sizes
+    meta[1] = enc.mins
+    meta[2] = enc.bits
+    meta[3] = enc.lens
+    return (np.int64(b_local).tobytes() + meta.tobytes()
+            + b"".join(enc.payloads))
+
+
+def _unpack_shard(blob: bytes):
+    """Inverse of _pack_shard: (payloads, mins, bits, lens) arrays."""
+    b = int(np.frombuffer(blob[:8], np.int64)[0])
+    meta = np.frombuffer(blob[8:8 + 32 * b], np.int64).reshape(4, b)
+    sizes = meta[0]
+    offs = 8 + 32 * b + np.concatenate([[0], np.cumsum(sizes)])
+    payloads = [blob[offs[i]:offs[i + 1]] for i in range(b)]
+    return payloads, meta[1], meta[2], meta[3]
+
+
+def _gather_to_coordinator(enc: EncodedBlocks,
+                           timeout_s: float = 600.0) -> EncodedBlocks:
+    """Coordinator-only gather over the jax.distributed coordination
+    service KV store (SURVEY section 5.8 single-writer gather): process
+    p publishes its shard blob in <= _KV_CHUNK-byte chunks under keys
+    only the coordinator reads; per-host traffic is its own bytes, the
+    coordinator's is the global total.  Returns EncodedBlocks on the
+    coordinator, None on every other process."""
+    import jax
+
+    client = _kv_client()
+    if client is None:
+        raise RuntimeError(
+            "coordinator gather requires jax.distributed.initialize() "
+            "(no coordination-service client)")
+    seq, _GATHER_SEQ[0] = _GATHER_SEQ[0], _GATHER_SEQ[0] + 1
+    p, n_proc = jax.process_index(), jax.process_count()
+    prefix = "minnow_gather/%d" % seq
+
+    if p != 0:
+        blob = _pack_shard(enc)
+        chunks = [blob[i:i + _KV_CHUNK]
+                  for i in range(0, len(blob), _KV_CHUNK)] or [b""]
+        for i, ch in enumerate(chunks):
+            client.key_value_set_bytes("%s/%d/c%d" % (prefix, p, i), ch)
+        # chunk count last: its presence tells the coordinator the data
+        # chunks above are all committed
+        client.key_value_set_bytes("%s/%d/n" % (prefix, p),
+                                   str(len(chunks)).encode())
+        return None
+
+    timeout = int(timeout_s * 1000)  # the client API takes milliseconds
+    payloads = list(enc.payloads)
+    mins = [np.asarray(enc.mins, np.int64)]
+    bits = [np.asarray(enc.bits, np.int64)]
+    lens = [np.asarray(enc.lens, np.int64)]
+    for q in range(1, n_proc):
+        n_chunks = int(client.blocking_key_value_get_bytes(
+            "%s/%d/n" % (prefix, q), timeout))
+        blob = b"".join(
+            client.blocking_key_value_get_bytes(
+                "%s/%d/c%d" % (prefix, q, i), timeout)
+            for i in range(n_chunks))
+        pq, mq, bq, lq = _unpack_shard(blob)
+        payloads.extend(pq)
+        mins.append(mq)
+        bits.append(bq)
+        lens.append(lq)
+    try:
+        client.key_value_delete(prefix)
+    except Exception:  # noqa: BLE001 - cleanup is best-effort
+        pass
+    return EncodedBlocks(payloads, np.concatenate(mins),
+                         np.concatenate(bits), np.concatenate(lens))

@@ -38,3 +38,49 @@ def test_two_process_gather_write_readback():
     assert p.returncode == 0, \
         "gather check failed:\n%s\n%s" % (p.stdout, p.stderr)
     assert "multiprocess gather OK" in p.stdout
+
+
+def test_eight_process_coordinator_gather():
+    """8 real jax.distributed processes take the COORDINATOR-ONLY
+    gather transport (auto mode at process_count > 4: per-host traffic
+    O(local bytes) over the coordination-service KV store, VERDICT r4
+    #4) and still produce a byte-identical coordinator-written minh
+    plus bit-exact sharded read-back on every process."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    p = subprocess.run(
+        [sys.executable, TOOL, "--procs=8"], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=300)
+    assert p.returncode == 0, \
+        "8-process gather check failed:\n%s\n%s" % (p.stdout, p.stderr)
+    assert "multiprocess gather OK: 8 processes" in p.stdout
+
+
+def test_pack_unpack_shard_roundtrip():
+    """The coordinator-gather wire format: ragged payloads (incl. the
+    zero-block shard an idle process ships) survive pack -> unpack."""
+    import numpy as np
+
+    from minnow_tpu.parallel.distributed import (_pack_shard,
+                                                 _unpack_shard)
+    from minnow_tpu.parallel.pipeline import EncodedBlocks
+
+    enc = EncodedBlocks(
+        [b"abc", b"", b"\x00\xff" * 7],
+        np.array([-5, 2**62, 7], np.int64),
+        np.array([3, 63, 0], np.int64),
+        np.array([10, 20, 30], np.int64))
+    p, m, b, ln = _unpack_shard(_pack_shard(enc))
+    assert p == enc.payloads
+    np.testing.assert_array_equal(m, enc.mins)
+    np.testing.assert_array_equal(b, enc.bits)
+    np.testing.assert_array_equal(ln, enc.lens)
+
+    empty = EncodedBlocks([], np.empty(0, np.int64),
+                          np.empty(0, np.int64), np.empty(0, np.int64))
+    p, m, b, ln = _unpack_shard(_pack_shard(empty))
+    assert p == [] and len(m) == len(b) == len(ln) == 0

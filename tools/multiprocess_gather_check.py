@@ -23,15 +23,16 @@ import tempfile
 
 # global row-blocks (ragged sizes), dealt process-major and contiguous
 # (gather_blocks returns process-major order, so ownership must be a
-# contiguous split for gathered index == global block index)
-BLOCK_SIZES = [61, 48, 64, 33, 57]
+# contiguous split for gathered index == global block index);
+# 11 blocks keep the per-process counts UNEQUAL for 2/3/4/8 processes
+BLOCK_SIZES = [61, 48, 64, 33, 57, 29, 71, 44, 52, 38, 66]
 L, EPS = 100.0, 0.01
 MVIR_LO, MVIR_HI = 1e9, 1e15
 
 
 def owner_counts(num_procs: int) -> list[int]:
     """Contiguous split of the row-blocks, earlier processes taking the
-    remainder -- always UNEQUAL counts for num_procs in {2, 3, 4}."""
+    remainder -- always UNEQUAL counts for num_procs in {2, 3, 4, 8}."""
     n = len(BLOCK_SIZES)
     base, rem = divmod(n, num_procs)
     return [base + (1 if i < rem else 0) for i in range(num_procs)]
@@ -82,7 +83,8 @@ def write_host_minh(path, blocks):
     w.close()
 
 
-def worker(process_id: int, num: int, port: int, out_file: str) -> None:
+def worker(process_id: int, num: int, port: int, out_file: str,
+           mode: str = "auto") -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import jax
@@ -116,7 +118,9 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
         ids = blocks[g][0]
         ib[r, :len(ids)] = ids
         ilens[r] = len(ids)
-    enc_i = gather_blocks(be.encode_int_blocks(ib, lens=ilens))
+    gmode = None if mode == "auto" else mode
+    enc_i = gather_blocks(be.encode_int_blocks(ib, lens=ilens),
+                          mode=gmode)
 
     # float columns: flatten (row-block, col) process-major
     fcols = [1, 2]  # x, mvir
@@ -137,7 +141,7 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
             fpix[k] = spec.float_group_pixels(col.low, col.high, col.dx)
             k += 1
     enc_f = gather_blocks(be.encode_float_blocks(
-        fb, flow, fhigh, fpix, lens=flens))
+        fb, flow, fhigh, fpix, lens=flens), mode=gmode)
 
     mp_file = out_file + ".minh"
     if process_id == 0:
@@ -198,7 +202,7 @@ def worker(process_id: int, num: int, port: int, out_file: str) -> None:
         f.write("ok" if ok else "MISMATCH")
 
 
-def main(num_procs: int = 4) -> int:
+def main(num_procs: int = 4, mode: str = "auto") -> int:
     # bind-then-release a free port: a fixed port collides when the
     # suite-driven 2-process run and a manual run overlap
     import socket
@@ -213,7 +217,8 @@ def main(num_procs: int = 4) -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker",
-             str(i), str(num_procs), str(port), out_file], env=env)
+             str(i), str(num_procs), str(port), out_file, mode],
+            env=env)
         for i in range(num_procs)
     ]
     rc = 0
@@ -240,21 +245,24 @@ def main(num_procs: int = 4) -> int:
         with open(out_file + ".dec%d" % p) as f:
             assert f.read() == "ok", \
                 "sharded decode mismatch on process %d" % p
-    print("multiprocess gather OK: %d processes, unequal block counts "
-          "%s, ragged lens, coordinator-written minh byte-identical to "
-          "a single-process host write (%d bytes); sharded read-back "
-          "bit-exact on every process"
-          % (num_procs, got["counts"], len(mp_bytes)))
+    print("multiprocess gather OK: %d processes (mode=%s), unequal "
+          "block counts %s, ragged lens, coordinator-written minh "
+          "byte-identical to a single-process host write (%d bytes); "
+          "sharded read-back bit-exact on every process"
+          % (num_procs, mode, got["counts"], len(mp_bytes)))
     return 0
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-               sys.argv[5])
+               sys.argv[5],
+               sys.argv[6] if len(sys.argv) > 6 else "auto")
     else:
-        n = 4
+        n, mode = 4, "auto"
         for a in sys.argv[1:]:
             if a.startswith("--procs="):
                 n = int(a.split("=", 1)[1])
-        sys.exit(main(n))
+            if a.startswith("--mode="):
+                mode = a.split("=", 1)[1]
+        sys.exit(main(n, mode))
