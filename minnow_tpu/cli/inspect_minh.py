@@ -1,13 +1,19 @@
 """inspect_minh: summarize a minh catalog (the analysis smoke-check,
-ref scripts/test_minh.py generalized: prints instead of plotting).
+ref scripts/test_minh.py generalized).
 
 Usage:
   python -m minnow_tpu.cli.inspect_minh <file.minh> [column ...]
-        [--device]
+        [--device] [--plot OUT.png]
 
 With ``--device`` bulk column reads run through the batched device
 decoder (formats/minh_device.py); values are bit-identical to the host
 reader in the ``none`` dither mode used here.
+
+``--plot OUT.png`` writes the reference script's visual sanity checks
+(ref scripts/test_minh.py:31-50, its commented-out slice plot plus a
+mass function): an x-y position slice -- colored by the boundary flag
+when the catalog has one -- and a log10-mass histogram when a ``mvir``
+column exists.  Requires matplotlib; everything else works without it.
 """
 
 from __future__ import annotations
@@ -19,6 +25,62 @@ import numpy as np
 from ..formats import minh
 
 
+def _plot(r, read_floats, out_png):
+    """The reference's visual sanity checks (ref scripts/test_minh.py):
+    x-y slice (boundary-colored when available) + mass function."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    have = set(r.names)
+    panels = []
+    if {"x", "y"} <= have:
+        panels.append("slice")
+    if "mvir" in have:
+        panels.append("massfn")
+    if not panels:
+        raise SystemExit("--plot needs x/y and/or mvir columns")
+    fig, axes = plt.subplots(1, len(panels),
+                             figsize=(5.2 * len(panels), 4.6))
+    axes = np.atleast_1d(axes)
+    for ax, panel in zip(axes, panels):
+        if panel == "slice":
+            cols = read_floats(["x", "y"])
+            x, y = cols["x"], cols["y"]
+            keep = np.ones(len(x), bool)
+            if "z" in have:  # the reference's thin-slice cut
+                z = read_floats(["z"])["z"]
+                keep &= z < (r.l / 5 if r.l else np.median(z))
+            if "boundary" in have:
+                bnd = r.ints(["boundary"])["boundary"]
+                ax.plot(x[keep & (bnd == 0)], y[keep & (bnd == 0)],
+                        ".", ms=1, c="r", label="interior")
+                ax.plot(x[keep & (bnd != 0)], y[keep & (bnd != 0)],
+                        ".", ms=1, c="k", label="boundary")
+                ax.legend(markerscale=8, fontsize=8)
+            else:
+                ax.plot(x[keep], y[keep], ".", ms=1, c="k")
+            ax.set_xlabel("$X$")
+            ax.set_ylabel("$Y$")
+            if r.l:
+                ax.set_xlim(0, r.l)
+                ax.set_ylim(0, r.l)
+            ax.set_title("position slice")
+        else:
+            mvir = read_floats(["mvir"])["mvir"]
+            mvir = mvir[mvir > 0]
+            ax.hist(np.log10(mvir.astype(np.float64)), bins=40,
+                    histtype="step", color="k")
+            ax.set_yscale("log")
+            ax.set_xlabel(r"$\log_{10} M_{\rm vir}$")
+            ax.set_ylabel("count")
+            ax.set_title("mass function")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    print("plot      :", out_png)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     device = "--device" in argv
@@ -27,6 +89,14 @@ def main(argv=None):
         from ..utils import backend_guard
 
         device = backend_guard.device_or_host(device)
+    plot_out = None
+    if "--plot" in argv:
+        i = argv.index("--plot")
+        try:
+            plot_out = argv[i + 1]
+        except IndexError:
+            raise SystemExit("--plot needs an output path")
+        del argv[i:i + 2]
     if not argv:
         raise SystemExit(__doc__)
     r = minh.open(argv[0], dither="none")
@@ -70,6 +140,8 @@ def main(argv=None):
         print("%-20s min=%-12.6g max=%-12.6g mean=%-12.6g"
               % (name, data.min(), data.max(),
                  float(np.mean(data.astype(np.float64)))))
+    if plot_out:
+        _plot(r, read_floats, plot_out)
     r.close()
 
 

@@ -230,6 +230,23 @@ def test_inspect_minh_device(catalog_env, capsys):
     assert "columns" in host_txt
 
 
+def test_inspect_minh_plot(catalog_env, capsys):
+    """--plot writes the reference's visual sanity figure (position
+    slice + mass function, ref scripts/test_minh.py:31-50)."""
+    pytest.importorskip("matplotlib")
+    from minnow_tpu.cli import inspect_minh
+
+    env = catalog_env
+    text_to_minh.main([str(env["tmp_path"] / "run.config"), "all",
+                       str(env["hlist"]), str(env["out"])])
+    src = str(env["out"] / "hlist_1.00000.minh")
+    png = str(env["tmp_path"] / "sanity.png")
+    inspect_minh.main([src, "x", "--plot", png])
+    out = capsys.readouterr().out
+    assert "plot" in out
+    assert os.path.getsize(png) > 5000  # a real rendered figure
+
+
 def test_text_to_minh_block_size_pipelining(catalog_env):
     """--block-size splits the file into multiple row-blocks; decoded
     values must be identical to the single-block conversion (the block
