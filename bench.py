@@ -110,204 +110,316 @@ def _pallas_dec_on() -> bool:
     return os.environ.get("MINNOW_TPU_PALLAS_DECODE", "") != "0"
 
 
-def _bench_shape(b, n, bits, low, high, dx):
-    """All four codec paths (XLA / group-Pallas x encode / decode) at
-    one (b, n) shape, with on-chip cross-checks.  Returns per-path times
-    (group times are None off-TPU / at non-qualifying shapes / when the
-    env kill switches disabled a kernel path after a validation
-    failure)."""
+def _dev_uniform(b, n, seed, lo=0.0, hi=249.9):
+    """Bench inputs generated ON DEVICE (threefry uniform): the axon
+    tunnel moves ~40 MB/s host->device and less device->host, so the
+    round-4 bench's host-generated multi-GB inputs cost 50-170 s PER
+    UPLOAD and transfers were ~85% of bench_device's 460 s wall clock
+    (profiled 2026-08-20).  Values are i.i.d. uniform like the old
+    numpy arrays; every correctness cross-check compares on-device
+    results against on-device results, so host bytes never mattered."""
     import jax
     import jax.numpy as jnp
 
-    from minnow_tpu.core import spec
-    from minnow_tpu.ops import bitpack, codec, fastdiv, pallas_codec, \
-        pallas_encode
+    x = jax.jit(lambda k: jax.random.uniform(
+        k, (b, n), jnp.float32, lo, hi))(jax.random.PRNGKey(seed))
+    np.asarray(x[0, :1])  # materialize before any timing starts
+    return x
 
-    pixels = spec.float_group_pixels(low, high, dx)
-    rng = np.random.default_rng(0)
-    x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
-    lowv = np.full(b, low, np.float32)
-    highv = np.full(b, high, np.float32)
-    pixv = np.full(b, pixels, np.int64)
-    lens = np.full(b, n, np.int64)
-    periodic = np.ones(b, bool)
-    dxq = np.full(b, spec.quantize_dx(low, high, pixels), np.float32)
-    db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
-    assert dok.all()
 
-    @jax.jit
-    def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
-        deltas, mins, maxd, valid = codec.prepare_float_blocks_fast32(
-            x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
-        words = bitpack.pack_batch(deltas, bits)
-        return words, mins, maxd, valid
+def _dev_words(shape, seed, mask=None):
+    """Random packed words generated on device (see _dev_uniform).
+    ``mask`` keeps the low bits only (uniform in [0, mask])."""
+    import jax
+    import jax.numpy as jnp
 
-    @jax.jit
-    def decode(words, mins, lowv, highv, pixv):
-        q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
-            + mins[:, None]
-        q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
-        return codec.dequantize24(q, lowv[:, None], highv[:, None],
-                                  pixv[:, None])
+    def gen(k):
+        w = jax.random.bits(k, shape, jnp.uint32)
+        return w if mask is None else w & np.uint32(mask)
 
-    enc_args = tuple(jax.device_put(a) for a in
-                     (x, lowv, pixv, lens, periodic, db, deb, dm0, dm1))
-    t_enc = _time(encode, *enc_args)
-    words, mins, _, valid = encode(*enc_args)
-    assert np.asarray(valid).all()
-    dec_args = (words, mins, enc_args[1], jax.device_put(highv),
-                enc_args[2])
-    t_dec = _time(decode, *dec_args, sync=lambda out: out[0, :1])
+    w = jax.jit(gen)(jax.random.PRNGKey(seed))
+    np.asarray(w.ravel()[:1])
+    return w
 
-    # correctness on-chip: decoded values within dx (periodic)
-    xhat = decode(*dec_args)
-    err = np.abs(np.asarray(xhat[:4]) - x[:4])
-    err = np.minimum(err, np.float32(high) - err)
-    assert err.max() <= dx * (1 + 1e-4), "on-chip roundtrip broke"
 
-    on_tpu = jax.default_backend() == "tpu"
-    eq = jax.jit(lambda a, b: jnp.all(
-        jax.lax.bitcast_convert_type(a, jnp.uint32)
-        == jax.lax.bitcast_convert_type(b, jnp.uint32)))
+def _time_pair(fn, a1, a2, by1, by2, sync, reps=5, iters=2):
+    """Temporally-paired two-point slope measurement.
 
-    # group-aligned fused Pallas encode (the production BlockEncoder
-    # fast path on TPU); byte-compared on-device against the XLA words
-    t_pge = None
-    if on_tpu and _pallas_enc_on() \
-            and pallas_encode.supported_group_enc(bits, n, pixels):
-        g = pallas_codec.group_tiles(bits)
-        x2d = jax.device_put(x.reshape(-1, g * 32))
-        pge_args = (x2d, enc_args[1], *(jax.device_put(a) for a in
-                                        (db, deb, dm0, dm1)),
-                    enc_args[2], enc_args[4])
+    The round-4 artifact exposed the flaw in timing all reps of the
+    small point, then all reps of the large point minutes later: under
+    co-tenant drift the two points sample different load regimes, and
+    the min-of-reps slope read 472 GB/s where the median said 73 -- the
+    estimator, not the kernel, made the number.  Here each rep times
+    the small and large shapes BACK TO BACK (milliseconds apart), so
+    both points of every per-rep slope see the same chip state.  The
+    median of per-rep slopes is the primary number; the min-of-reps
+    slope is kept as an optimistic diagnostic (_opt).
 
-        def encode_pg(x2d, lowv, db, deb, dm0, dm1, pixv, per):
-            return pallas_encode.encode_float_pallas_group(
-                x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n)
+    Returns (t1, t2, slopes): _Timed per point plus the sorted list of
+    valid per-rep slopes in GB/s."""
+    np.asarray(sync(fn(*a1)))  # compile + warm
+    np.asarray(sync(fn(*a2)))
+    np.asarray(sync(fn(*a1)))
+    np.asarray(sync(fn(*a2)))
+    t1s, t2s, slopes = [], [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(sync(fn(*a1)))
+        ta = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(sync(fn(*a2)))
+        tb = time.perf_counter()
+        t1, t2 = (ta - t0) / iters, (tb - ta) / iters
+        t1s.append(t1)
+        t2s.append(t2)
+        if t2 - t1 > 1e-6:
+            s = (by2 - by1) / 1e9 / (t2 - t1)
+            if s < 2000:  # past any TPU HBM bound: pure noise
+                slopes.append(s)
+    return (_Timed(min(t1s), t1s), _Timed(min(t2s), t2s),
+            sorted(slopes))
 
-        t_pge = _time(encode_pg, *pge_args, sync=lambda o: o[1])
-        wg, mg, _, vg = encode_pg(*pge_args)
+
+def _pair_stats(extra, name, by1, by2, t1, t2, slopes):
+    """Record one path's paired measurement and return its primary
+    (median-of-paired-slopes) GB/s.  Falls back to the conservative
+    large-point median rate when no rep produced a valid slope."""
+    med = (slopes[len(slopes) // 2] if slopes
+           else by2 / 1e9 / t2.med)
+    extra[name + "_GBps"] = round(med, 3)
+    extra[name + "_GBps_opt"] = round(_safe_slope(by1, by2, t1, t2), 3)
+    extra[name + "_rep_spread"] = round(t2.spread, 2)
+    extra[name + "_pair_n"] = len(slopes)
+    return med
+
+
+class _CodecCtx:
+    """Shared ON-DEVICE state for one bench shape: the uniform input x,
+    the per-block constants, the packed words + mins from one XLA
+    encode, and the jitted XLA encode/decode fns.  Everything larger
+    than a few KB lives on device (_dev_uniform rationale); per-path
+    extras (kernel-layout reshapes) are built transiently by the path
+    groups below and freed between groups -- holding every path's
+    buffers for both shapes at once OOMed the co-tenanted 16 GB HBM
+    (round-5 first run: RESOURCE_EXHAUSTED in bench_device)."""
+
+    def __init__(self, b, n, bits, low, high, dx, seed):
+        import jax
+        import jax.numpy as jnp
+
+        from minnow_tpu.core import spec
+        from minnow_tpu.ops import bitpack, codec, fastdiv
+
+        self.b, self.n, self.bits = b, n, bits
+        self.low, self.high, self.dx = low, high, dx
+        self.pixels = spec.float_group_pixels(low, high, dx)
+        self.nbytes = b * n * 4
+        self.x = _dev_uniform(b, n, seed)
+        lowv = np.full(b, low, np.float32)
+        highv = np.full(b, high, np.float32)
+        pixv = np.full(b, self.pixels, np.int64)
+        lens = np.full(b, n, np.int64)
+        periodic = np.ones(b, bool)
+        dxq = np.full(b, spec.quantize_dx(low, high, self.pixels),
+                      np.float32)
+        db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
+        assert dok.all()
+
+        @jax.jit
+        def encode(x, lowv, pixv, lens, periodic, db, deb, dm0, dm1):
+            deltas, mins, maxd, valid = \
+                codec.prepare_float_blocks_fast32(
+                    x, lowv, pixv, lens, periodic, db, deb, dm0, dm1)
+            words = bitpack.pack_batch(deltas, bits)
+            return words, mins, maxd, valid
+
+        @jax.jit
+        def decode(words, mins, lowv, highv, pixv):
+            q = bitpack.unpack_batch32(words, bits, n).astype(jnp.int32) \
+                + mins[:, None]
+            q = codec.bound(q, 0, pixv[:, None].astype(jnp.int32))
+            return codec.dequantize24(q, lowv[:, None], highv[:, None],
+                                      pixv[:, None])
+
+        self.encode, self.decode = encode, decode
+        self.consts = tuple(jax.device_put(a) for a in
+                            (lowv, pixv, lens, periodic, db, deb, dm0,
+                             dm1))
+        self.highv = jax.device_put(highv)
+        self.words, self.mins, _, valid = encode(self.x, *self.consts)
+        assert np.asarray(valid).all()
+        self.eq = jax.jit(lambda a, b: jnp.all(
+            jax.lax.bitcast_convert_type(a, jnp.uint32)
+            == jax.lax.bitcast_convert_type(b, jnp.uint32)))
+
+        high32 = np.float32(high)
+
+        @jax.jit
+        def max_perr(xhat, x):
+            err = jnp.abs(xhat - x)
+            err = jnp.minimum(err, high32 - err)
+            return err.max()
+
+        self.max_perr = max_perr
+
+    def dec_args(self):
+        return (self.words, self.mins, self.consts[0], self.highv,
+                self.consts[1])
+
+
+def _group_xla(ctx):
+    """The XLA encode/decode paths + the on-chip roundtrip bound."""
+    enc_args = (ctx.x,) + ctx.consts
+    dec_args = ctx.dec_args()
+
+    def check_roundtrip():
+        xhat = ctx.decode(*dec_args)
+        assert float(ctx.max_perr(xhat, ctx.x)) \
+            <= ctx.dx * (1 + 1e-4), "on-chip roundtrip broke"
+
+    return [("encode_xla", ctx.encode, enc_args, lambda o: o[1]),
+            ("decode_xla", ctx.decode, dec_args, lambda o: o[0, :1])], \
+        [check_roundtrip]
+
+
+def _group_pallas_encode(ctx):
+    """Group-aligned fused Pallas encode (the production BlockEncoder
+    fast path on TPU) + its column-constant specialization, words
+    byte-compared on-device against the XLA words."""
+    import jax
+
+    from minnow_tpu.ops import pallas_codec, pallas_encode
+
+    if not (jax.default_backend() == "tpu" and _pallas_enc_on()
+            and pallas_encode.supported_group_enc(ctx.bits, ctx.n,
+                                                  ctx.pixels)):
+        return [], []
+    g = pallas_codec.group_tiles(ctx.bits)
+    x2d = jax.jit(lambda v: v.reshape(-1, g * 32))(ctx.x)
+    np.asarray(x2d[:1, 0])  # materialize outside the timed region
+    c = ctx.consts
+    args = (x2d, c[0], c[4], c[5], c[6], c[7], c[1], c[3])
+    bits, n = ctx.bits, ctx.n
+
+    def encode_pg(x2d, lowv, db, deb, dm0, dm1, pixv, per):
+        return pallas_encode.encode_float_pallas_group(
+            x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n)
+
+    cfg = pallas_encode.make_const_cfg(ctx.low, np.asarray(c[4]),
+                                       np.asarray(c[5]),
+                                       np.asarray(c[6]),
+                                       np.asarray(c[7]),
+                                       ctx.pixels, True)
+
+    def encode_pgc(x2d, lowv, db, deb, dm0, dm1, pixv, per):
+        return pallas_encode.encode_float_pallas_group(
+            x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n,
+            const_cfg=cfg)
+
+    def check():
+        wg, mg, _, vg = encode_pg(*args)
         assert np.asarray(vg).all()
-        assert bool(eq(wg.reshape(words.shape), words)), \
+        assert bool(ctx.eq(wg.reshape(ctx.words.shape), ctx.words)), \
             "group encode words diverged from XLA words on chip"
         assert np.array_equal(np.asarray(mg),
-                              np.asarray(mins).astype(np.int32))
-
-        # column-constant specialization A/B (round-3 open experiment):
-        # same kernel with the per-column scalars compiled in
-        cfg = pallas_encode.make_const_cfg(low, db, deb, dm0, dm1,
-                                           pixels, True)
-
-        def encode_pgc(x2d, lowv, db, deb, dm0, dm1, pixv, per):
-            return pallas_encode.encode_float_pallas_group(
-                x2d, lowv, db, deb, dm0, dm1, pixv, per, bits, n,
-                const_cfg=cfg)
-
-        t_pgec = _time(encode_pgc, *pge_args, sync=lambda o: o[1])
-        wc, mc, _, vc = encode_pgc(*pge_args)
-        assert bool(eq(wc, wg)), \
+                              np.asarray(ctx.mins).astype(np.int32))
+        wc, mc, _, vc = encode_pgc(*args)
+        assert bool(ctx.eq(wc, wg)), \
             "const-specialized encode words diverged on chip"
         assert np.array_equal(np.asarray(mc), np.asarray(mg))
         assert np.array_equal(np.asarray(vc), np.asarray(vg))
-    else:
-        t_pgec = None
 
-    # group-aligned fused Pallas decode (the production bulk-read path).
-    # Takes the aligned (M, G*bits) words view -- a free reshape where
-    # the words live in production (host file buffers).
-    t_pg = None
-    if on_tpu and _pallas_dec_on() \
-            and pallas_codec.supported_group(bits, n, pixels):
-        g = pallas_codec.group_tiles(bits)
-        w2d = jax.device_put(np.asarray(words).reshape(-1, g * bits))
-        pg_args = (w2d, mins, enc_args[1], dec_args[3], enc_args[2],
-                   enc_args[4])
+    return [("encode_pallas_group", encode_pg, args, lambda o: o[1]),
+            ("encode_pallas_const", encode_pgc, args, lambda o: o[1])], \
+        [check]
 
-        def decode_pg(w2d, mins, lowv, highv, pixv, per):
-            return pallas_codec.decode_float_pallas_group(
-                w2d, mins, lowv, highv, pixv, per, bits, n,
-                dither="none")
 
-        t_pg = _time(decode_pg, *pg_args, sync=lambda out: out[:1, 0])
-        xg = decode_pg(*pg_args)
-        assert bool(eq(xg.reshape(b, n), xhat)), \
+def _group_pallas_decode(ctx):
+    """Group-aligned fused Pallas decode (the production bulk-read
+    path), compared on-device against the XLA decode.  Takes the
+    aligned (M, G*bits) words view -- a free reshape where the words
+    live in production (host file buffers); here the words stay on
+    device and reshape there."""
+    import jax
+
+    from minnow_tpu.ops import pallas_codec
+
+    if not (jax.default_backend() == "tpu" and _pallas_dec_on()
+            and pallas_codec.supported_group(ctx.bits, ctx.n,
+                                             ctx.pixels)):
+        return [], []
+    g = pallas_codec.group_tiles(ctx.bits)
+    w2d = jax.jit(lambda w: w.reshape(-1, g * ctx.bits))(ctx.words)
+    np.asarray(w2d[:1, 0])
+    c = ctx.consts
+    args = (w2d, ctx.mins, c[0], ctx.highv, c[1], c[3])
+    bits, n, b = ctx.bits, ctx.n, ctx.b
+
+    def decode_pg(w2d, mins, lowv, highv, pixv, per):
+        return pallas_codec.decode_float_pallas_group(
+            w2d, mins, lowv, highv, pixv, per, bits, n, dither="none")
+
+    def check():
+        xg = decode_pg(*args)
+        xhat = ctx.decode(*ctx.dec_args())
+        assert bool(ctx.eq(xg.reshape(b, n), xhat)), \
             "group decode diverged from XLA decode on chip"
-    return t_enc, t_dec, t_pge, t_pg, x.nbytes, t_pgec
+
+    return [("decode_pallas_group", decode_pg, args,
+             lambda o: o[:1, 0])], [check]
 
 
 def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
-    """Slope-based chip throughput at the production streamed shape
-    (many ~128k-element blocks): time two BLOCK COUNTS (134 MB and
-    2.15 GB) and divide the byte delta by the time delta.  This cancels
-    the fixed per-dispatch round-trip (~25 ms through this environment's
-    network tunnel -- a harness artifact; production hosts feed the TPU
-    via PCIe/DMA and stream batches).  History: slopes over n at fixed
-    b=64 (2^17 -> 2^21) put the fast paths' BOTH points within noise of
-    the dispatch floor, producing run-to-run swings of 20-172 GB/s for
-    the same kernel; the 16x block-count spread at fixed n keeps the
-    large point well clear of the floor for every path."""
+    """Paired-slope chip throughput at the production streamed shape
+    (many ~128k-element blocks): every rep times two BLOCK COUNTS
+    (134 MB and 2.15 GB) back to back and the byte delta over the time
+    delta cancels the fixed per-dispatch round-trip (~23 ms through
+    this environment's network tunnel -- a harness artifact; production
+    hosts feed the TPU via PCIe/DMA and stream batches).  The primary
+    per-path number is the MEDIAN of per-rep paired slopes (_time_pair:
+    robust to both tenancy spikes and drift); the min-of-reps slope is
+    kept under _opt.  History: slopes over n at fixed b=64 put both
+    points within noise of the dispatch floor (20-172 GB/s swings);
+    timing the points minutes apart let drift fabricate a 472 GB/s
+    slope whose median said 73 (round-4 headline integrity finding)."""
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
-    te1, td1, tpe1, tp1, by1, tpec1 = _bench_shape(b_small, n_blk, bits,
-                                                   low, high, dx)
-    te2, td2, tpe2, tp2, by2, tpec2 = _bench_shape(b_large, n_blk, bits,
-                                                   low, high, dx)
-    # Temporal-adjacency re-measure (honesty guard): the two shape
-    # passes sit minutes apart when compiles are cold, so under
-    # co-tenant drift they can land in different load regimes; a
-    # small-point time inflated by contention inflates the slope
-    # estimator (observed 2026-08-20: a "1120 GB/s" decode slope, 2.1x
-    # past the 524 GB/s HBM ceiling at this width).  Re-measuring the
-    # small point right after the large pass and taking the per-path
-    # best of both passes can only LOWER slopes (the t2-t1 denominator
-    # grows), never raise them.  Everything is already compiled, so
-    # this costs dispatches only; skipped when the budget is tight.
-    if _remaining() > 180.0:
-        te1b, td1b, tpe1b, tp1b, _, tpec1b = _bench_shape(
-            b_small, n_blk, bits, low, high, dx)
-        te1 = _min_timed(te1, te1b)
-        td1 = _min_timed(td1, td1b)
-        tpe1 = _min_timed(tpe1, tpe1b)
-        tp1 = _min_timed(tp1, tp1b)
-        tpec1 = _min_timed(tpec1, tpec1b)
-    enc_xla = _safe_slope(by1, by2, te1, te2)
-    dec_xla = _safe_slope(by1, by2, td1, td2)
-    extra = {
-        "bench_shape": "(%d->%d, %d)" % (b_small, b_large, n_blk),
-        "encode_xla_GBps": round(enc_xla, 3),
-        "decode_xla_GBps": round(dec_xla, 3),
-        "dispatch_floor_ms_encode": round(
-            (te1 - by1 / 1e9 / enc_xla) * 1e3, 2),
-        "large_batch_encode_GBps": round(by2 / 1e9 / te2, 3),
-        "large_batch_decode_GBps": round(by2 / 1e9 / td2, 3),
-    }
-    enc_gbs, dec_gbs = enc_xla, dec_xla
-    if tpe1 is not None and tpe2 is not None:
-        enc_pg = _safe_slope(by1, by2, tpe1, tpe2)
-        extra["encode_pallas_group_GBps"] = round(enc_pg, 3)
-        extra["encode_pallas_group_GBps_med"] = round(
-            _safe_slope(by1, by2, tpe1.med, tpe2.med), 3)
-        extra["encode_pallas_group_rep_spread"] = round(tpe2.spread, 2)
-        enc_gbs = max(enc_gbs, enc_pg)
-    if tpec1 is not None and tpec2 is not None:
-        enc_pgc = _safe_slope(by1, by2, tpec1, tpec2)
-        extra["encode_pallas_const_GBps"] = round(enc_pgc, 3)
-        extra["encode_pallas_const_GBps_med"] = round(
-            _safe_slope(by1, by2, tpec1.med, tpec2.med), 3)
-        # the const path is production only under the env opt-in; the
-        # headline must reflect what a default install runs
-        if os.environ.get("MINNOW_TPU_PALLAS_CONST", "0") == "1":
-            enc_gbs = max(enc_gbs, enc_pgc)
-    if tp1 is not None and tp2 is not None:
-        dec_pg = _safe_slope(by1, by2, tp1, tp2)
-        extra["decode_pallas_group_GBps"] = round(dec_pg, 3)
-        extra["decode_pallas_group_GBps_med"] = round(
-            _safe_slope(by1, by2, tp1.med, tp2.med), 3)
-        extra["decode_pallas_group_rep_spread"] = round(tp2.spread, 2)
-        dec_gbs = max(dec_gbs, dec_pg)
-    # spread of the large-point XLA reps: a tenancy-noise indicator for
-    # the whole run (XLA paths normally repeat within ~10%)
-    extra["encode_xla_rep_spread"] = round(te2.spread, 2)
-    extra["decode_xla_rep_spread"] = round(td2.spread, 2)
+    c1 = _CodecCtx(b_small, n_blk, bits, low, high, dx, seed=11)
+    c2 = _CodecCtx(b_large, n_blk, bits, low, high, dx, seed=12)
+    by1, by2 = c1.nbytes, c2.nbytes
+
+    extra = {"bench_shape": "(%d->%d, %d)" % (b_small, b_large, n_blk)}
+    med = {}
+    for group in (_group_xla, _group_pallas_encode,
+                  _group_pallas_decode):
+        paths1, checks1 = group(c1)
+        paths2, checks2 = group(c2)
+        # on-chip cross-checks first (they also warm the compiles)
+        for chk in checks1 + checks2:
+            chk()
+        for (name, fn, a1, sync), (_, _, a2, _) in zip(paths1, paths2):
+            t1, t2, slopes = _time_pair(fn, a1, a2, by1, by2, sync)
+            med[name] = _pair_stats(extra, name, by1, by2, t1, t2,
+                                    slopes)
+            if name == "encode_xla":
+                extra["dispatch_floor_ms_encode"] = round(
+                    (t1 - by1 / 1e9 / max(med[name], 1e-9)) * 1e3, 2)
+                extra["large_batch_encode_GBps"] = round(
+                    by2 / 1e9 / t2, 3)
+            elif name == "decode_xla":
+                extra["large_batch_decode_GBps"] = round(
+                    by2 / 1e9 / t2, 3)
+        # free the group's kernel-layout buffers before the next
+        del paths1, paths2, checks1, checks2
+
+    enc_gbs = max(med.get("encode_xla", 0.0),
+                  med.get("encode_pallas_group", 0.0))
+    # the const path is production only under the env opt-in; the
+    # headline must reflect what a default install runs
+    if os.environ.get("MINNOW_TPU_PALLAS_CONST", "0") == "1":
+        enc_gbs = max(enc_gbs, med.get("encode_pallas_const", 0.0))
+    dec_gbs = max(med.get("decode_xla", 0.0),
+                  med.get("decode_pallas_group", 0.0))
     cap = _cap_to_hbm(extra, bits)
     if cap is not None:
         enc_gbs = min(enc_gbs, cap)
@@ -335,7 +447,8 @@ def _cap_to_hbm(d, bits):
     # (524.16 -> 524.2 on v5e at 18 bits) and must never self-flag by
     # appearing in the iteration set (round-4 artifact pollution).
     for k in [k for k in d
-              if k.endswith("_GBps") or k.endswith("_GBps_med")]:
+              if k.endswith("_GBps") or k.endswith("_GBps_med")
+              or k.endswith("_GBps_opt")]:
         v = d[k]
         if isinstance(v, (int, float)) and v > cap:
             d[k + "_raw"] = v
@@ -345,7 +458,8 @@ def _cap_to_hbm(d, bits):
     return cap
 
 
-def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
+def bench_big_blocks(n=1 << 21, b_small=16, b_large=256,
+                     dec_b2=512):
     """Big-block shapes (64 x fewer, 16 x larger blocks than the
     streamed grid): the XLA encode's per-block reduction overhead
     amortizes much better here (~5x the many-small-blocks slope), and
@@ -359,10 +473,9 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
 
     bits, low, high, dx = 18, 0.0, 250.0, 0.001
     pixels = spec.float_group_pixels(low, high, dx)
-    rng = np.random.default_rng(3)
 
-    def make(b):
-        x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+    def make(b, seed):
+        x = _dev_uniform(b, n, seed)
         lowv = np.full(b, low, np.float32)
         pixv = np.full(b, pixels, np.int64)
         lens = np.full(b, n, np.int64)
@@ -371,8 +484,8 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
                       np.float32)
         db, deb, dm0, dm1, dok = fastdiv.divisor_magic(dxq)
         assert dok.all()
-        return (tuple(jax.device_put(a) for a in
-                      (x, lowv, pixv, lens, per, db, deb, dm0, dm1)),
+        return ((x,) + tuple(jax.device_put(a) for a in
+                             (lowv, pixv, lens, per, db, deb, dm0, dm1)),
                 b * n * 4)
 
     @jax.jit
@@ -382,12 +495,11 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
         return bitpack.pack_batch(deltas, bits), mins
 
     out = {}
-    a1, by1 = make(b_small)
-    a2, by2 = make(b_large)
-    t1 = _time(encode, *a1, sync=lambda o: o[1])
-    t2 = _time(encode, *a2, sync=lambda o: o[1])
-    out["encode_xla_bigblock_GBps"] = round(
-        _safe_slope(by1, by2, t1, t2), 3)
+    a1, by1 = make(b_small, 21)
+    a2, by2 = make(b_large, 22)
+    t1, t2, slopes = _time_pair(encode, a1, a2, by1, by2,
+                                sync=lambda o: o[1])
+    _pair_stats(out, "encode_xla_bigblock", by1, by2, t1, t2, slopes)
 
     from minnow_tpu.ops import pallas_encode
 
@@ -409,10 +521,10 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
 
         e1 = big_args(a1)
         e2 = big_args(a2)
-        t1 = _time(encode_big, *e1, sync=lambda o: o[1])
-        t2 = _time(encode_big, *e2, sync=lambda o: o[1])
-        out["encode_pallas_bigblock_GBps"] = round(
-            _safe_slope(by1, by2, t1, t2), 3)
+        t1, t2, slopes = _time_pair(encode_big, e1, e2, by1, by2,
+                                    sync=lambda o: o[1])
+        _pair_stats(out, "encode_pallas_bigblock", by1, by2, t1, t2,
+                    slopes)
         import jax.numpy as jnp
         wx, _ = encode(*a1)
         wb, mnb, _, vb = encode_big(*e1)
@@ -432,13 +544,12 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
         # ~524 GB/s traffic-model ceiling); 4.3 GB puts the delta at
         # >= 10 ms.  Random words decode fine; values don't affect time.
         g = pallas_codec.group_tiles(bits)
-        db1, db2 = 64, 512
+        db1, db2 = 64, dec_b2
 
-        def dec_args(b):
+        def dec_args(b, seed):
             t_g = (n // 32) // g
-            w = rng.integers(0, 1 << 32, (b * t_g, g * bits),
-                             dtype=np.uint64).astype(np.uint32)
-            return (jax.device_put(w), np.zeros(b, np.int64),
+            w = _dev_words((b * t_g, g * bits), seed)
+            return (w, np.zeros(b, np.int64),
                     np.full(b, low, np.float32),
                     np.full(b, high, np.float32),
                     np.full(b, pixels, np.int64), np.ones(b, bool))
@@ -448,12 +559,12 @@ def bench_big_blocks(n=1 << 21, b_small=16, b_large=256):
                 w2d, mins, lowv, highv, pixv, per, bits, n,
                 dither="none")
 
-        d1 = dec_args(db1)
-        d2 = dec_args(db2)
-        t1 = _time(decode_pg, *d1, sync=lambda o: o[:1, 0])
-        t2 = _time(decode_pg, *d2, sync=lambda o: o[:1, 0])
-        out["decode_pallas_group_bigblock_GBps"] = round(
-            _safe_slope(db1 * n * 4, db2 * n * 4, t1, t2), 3)
+        d1 = dec_args(db1, 23)
+        d2 = dec_args(db2, 24)
+        t1, t2, slopes = _time_pair(decode_pg, d1, d2, db1 * n * 4,
+                                    db2 * n * 4, sync=lambda o: o[:1, 0])
+        _pair_stats(out, "decode_pallas_group_bigblock", db1 * n * 4,
+                    db2 * n * 4, t1, t2, slopes)
         out["bigblock_decode_shape"] = "(%d->%d, %d)" % (db1, db2, n)
     out["bigblock_shape"] = "(%d->%d, %d)" % (b_small, b_large, n)
     _cap_to_hbm(out, bits)
@@ -529,7 +640,6 @@ def bench_sustained(batches=None, b=None, n=None):
         # amortize warmup against the 1 GB/dispatch auto-sizing while
         # fitting the section inside the bench budget
         batches = max(6, int(8e9 / (b * n * 4)))
-    rng = np.random.default_rng(2)
     lowv = np.full(b, low, np.float32)
     highv = np.full(b, high, np.float32)
     pixv = np.full(b, pixels, np.int64)
@@ -585,11 +695,14 @@ def bench_sustained(batches=None, b=None, n=None):
     # outstanding-output window inside HBM
     batch_bytes = b * n * 4
     n_bufs = 2 if batch_bytes > (1 << 29) else 4
-    xs = [rng.uniform(0, 249.9, (b, n)).astype(np.float32)
-          for _ in range(n_bufs)]
+    # inputs generated on device (uniform i.i.d., so generating straight
+    # into the kernel's 2-D layout is equivalent to reshaping) -- see
+    # _dev_uniform for why host-generated buffers are banned here
     if use_pallas:
-        xs = [x.reshape(-1, g * 32) for x in xs]
-    xs = [jax.device_put(x) for x in xs]
+        xs = [_dev_uniform(b * n // (g * 32), g * 32, 60 + i)
+              for i in range(n_bufs)]
+    else:
+        xs = [_dev_uniform(b, n, 60 + i) for i in range(n_bufs)]
     consts = tuple(jax.device_put(a) for a in
                    (lowv, pixv, lens, periodic, db, deb, dm0, dm1))
 
@@ -665,10 +778,8 @@ def bench_pallas_encode(n=1 << 17, b1=256, b2=2048):
     if not pallas_encode.supported(bits, n, pixels) \
             or not _pallas_enc_on():
         return {}
-    rng = np.random.default_rng(7)
-
-    def make(b):
-        x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+    def make(b, seed):
+        x = _dev_uniform(b, n, seed)
         lowb = np.full(b, low, np.float32)
         pixb = np.full(b, pixels, np.int64)
         perb = np.ones(b, bool)
@@ -676,8 +787,9 @@ def bench_pallas_encode(n=1 << 17, b1=256, b2=2048):
         dxb = np.full(b, spec.quantize_dx(low, high, pixels), np.float32)
         bb, ebb, m0b, m1b, okb = fastdiv.divisor_magic(dxb)
         assert okb.all()
-        return (tuple(jax.device_put(a) for a in
-                      (x, lowb, bb, ebb, m0b, m1b, pixb, perb, lens)),
+        return ((x,) + tuple(jax.device_put(a) for a in
+                             (lowb, bb, ebb, m0b, m1b, pixb, perb,
+                              lens)),
                 b * n * 4)
 
     def pallas_fn(x, lowb, bb, ebb, m0b, m1b, pixb, perb, lens):
@@ -690,17 +802,16 @@ def bench_pallas_encode(n=1 << 17, b1=256, b2=2048):
             x, lowb, pixb, lens, perb, bb, ebb, m0b, m1b)
         return bitpack.pack_batch(deltas, bits), mins
 
-    a1, by1 = make(b1)
-    a2, by2 = make(b2)
-    tp1, tp2 = _time(pallas_fn, *a1), _time(pallas_fn, *a2)
-    tx1, tx2 = _time(xla_fn, *a1), _time(xla_fn, *a2)
-    return {
-        "pallas_fused_encode_GBps": round(_safe_slope(by1, by2, tp1, tp2),
-                                          3),
-        "xla_encode_same_shape_GBps": round(
-            _safe_slope(by1, by2, tx1, tx2), 3),
-        "pallas_shape": "(%d->%d, %d)" % (b1, b2, n),
-    }
+    a1, by1 = make(b1, 31)
+    a2, by2 = make(b2, 32)
+    out = {"pallas_shape": "(%d->%d, %d)" % (b1, b2, n)}
+    t1, t2, sl = _time_pair(pallas_fn, a1, a2, by1, by2,
+                            sync=lambda o: o[1])
+    _pair_stats(out, "pallas_fused_encode", by1, by2, t1, t2, sl)
+    t1, t2, sl = _time_pair(xla_fn, a1, a2, by1, by2,
+                            sync=lambda o: o[1])
+    _pair_stats(out, "xla_encode_same_shape", by1, by2, t1, t2, sl)
+    return out
 
 
 def bench_extra_configs():
@@ -711,14 +822,30 @@ def bench_extra_configs():
     from minnow_tpu.ops import bitpack, codec
 
     out = {}
-    rng = np.random.default_rng(1)
+    _seed = [40]
 
-    def slope(fn, make_args, n1, n2, sync):
+    def slope(fn, make_args, n1, n2, sync, key=None):
         a1, by1 = make_args(n1)
         a2, by2 = make_args(n2)
-        t1 = _time(fn, *a1, sync=sync)
-        t2 = _time(fn, *a2, sync=sync)
-        return _safe_slope(by1, by2, t1, t2)
+        t1, t2, slopes = _time_pair(fn, a1, a2, by1, by2, sync)
+        if key is not None:
+            return _pair_stats(out, key, by1, by2, t1, t2, slopes)
+        return (slopes[len(slopes) // 2] if slopes
+                else by2 / 1e9 / t2.med)
+
+    def dev_ids(shape, lo, hi):
+        """Device-generated int64 IDs (see _dev_uniform rationale)."""
+        import jax.numpy as jnp
+        _seed[0] += 1
+        x = jax.jit(lambda k: jax.random.randint(
+            k, shape, lo, hi, jnp.int64))(
+                jax.random.PRNGKey(_seed[0]))
+        np.asarray(x.ravel()[:1])
+        return x
+
+    def dev_words(shape, mask=None):
+        _seed[0] += 1
+        return _dev_words(shape, _seed[0], mask)
 
     # config 1: fixed-width pack at 18 bits (block-count spread
     # 134 MB -> 2.1 GB; the old n-spread at b=64 had both points near
@@ -726,12 +853,11 @@ def bench_extra_configs():
     pack18 = jax.jit(lambda d: bitpack.pack_batch(d, 18))
 
     def pack_args(b):
-        d = rng.integers(0, 1 << 18, (b, 1 << 17)).astype(np.uint32)
-        return (jax.device_put(d),), d.nbytes
+        d = dev_words((b, 1 << 17), mask=(1 << 18) - 1)
+        return (d,), d.size * 4
 
-    out["bitpack18_GBps"] = round(
-        slope(pack18, pack_args, 256, 4096,
-              sync=lambda o: o[0, :1]), 3)
+    slope(pack18, pack_args, 256, 4096,
+          sync=lambda o: o[0, :1], key="bitpack18")
 
     # config: int64 ID column via the production two-pass structure
     # (stats-only read + fused delta+pack, no materialized deltas)
@@ -742,13 +868,12 @@ def bench_extra_configs():
         return bitpack.delta_pack_batch(x, mins, lens, 41), mins
 
     def id_args(b):
-        x = rng.integers(0, 10**12, (b, 1 << 18), dtype=np.int64)
+        x = dev_ids((b, 1 << 18), 0, 10**12)
         lens = np.full(b, 1 << 18, np.int64)
-        return (jax.device_put(x), jax.device_put(lens)), x.nbytes
+        return (x, jax.device_put(lens)), x.size * 8
 
-    out["int64_id_encode_GBps"] = round(
-        slope(enc_ids, id_args, 64, 1024,
-              sync=lambda o: o[1]), 3)
+    slope(enc_ids, id_args, 64, 1024,
+          sync=lambda o: o[1], key="int64_id_encode")
 
     # config: the same two-pass int encode with the planar Pallas pack
     # kernel as the second dispatch (the production TPU path,
@@ -765,9 +890,8 @@ def bench_extra_configs():
                 return pallas_encode.delta_pack_int_pallas(
                     x, mins, lens, 41, n_id, n_id), mins
 
-            out["int64_id_encode_pallas_GBps"] = round(
-                slope(enc_ids_pallas, id_args, 64, 1024,
-                      sync=lambda o: o[1]), 3)
+            slope(enc_ids_pallas, id_args, 64, 1024,
+                  sync=lambda o: o[1], key="int64_id_encode_pallas")
 
     # config: uniform-dither bulk decode (the DEFAULT read mode) --
     # kernel unpack + XLA threefry/dequant tail vs the all-XLA path
@@ -782,9 +906,8 @@ def bench_extra_configs():
 
         def dec_u_args(b):
             t_g = (n // 32) // g
-            w = rng.integers(0, 1 << 32, (b * t_g, g * bits),
-                             dtype=np.uint64).astype(np.uint32)
-            return ((jax.device_put(w), np.zeros(b, np.int64),
+            w = dev_words((b * t_g, g * bits))
+            return ((w, np.zeros(b, np.int64),
                      np.full(b, low, np.float32),
                      np.full(b, high, np.float32),
                      np.full(b, pixels, np.int64), np.ones(b, bool),
@@ -794,9 +917,8 @@ def bench_extra_configs():
             return codec.decode_float_blocks32_group(
                 w2d, mins, lo, hi, pix, per, ids, bits, n, n)
 
-        out["decode_uniform_group_GBps"] = round(
-            slope(dec_u, dec_u_args, 256, 4096,
-                  sync=lambda o: o[:1, 0]), 3)
+        slope(dec_u, dec_u_args, 256, 4096,
+              sync=lambda o: o[:1, 0], key="decode_uniform_group")
 
         # fully fused uniform decode: counter-hash dither in-kernel
         # (the production DEFAULT read mode path)
@@ -812,15 +934,12 @@ def bench_extra_configs():
                 w2d, mins, lo, hi, pix, per, bits, n,
                 dither="uniform", key1=k1, key2=k2)
 
-        out["decode_uniform_fused_GBps"] = round(
-            slope(dec_u_fused, dec_u_fused_args, 256, 4096,
-                  sync=lambda o: o[:1, 0]), 3)
+        slope(dec_u_fused, dec_u_fused_args, 256, 4096,
+              sync=lambda o: o[:1, 0], key="decode_uniform_fused")
 
         def dec_u_xla_args(b):
-            w = rng.integers(
-                0, 1 << 32, (b, bitpack.words_per_block(bits, n)),
-                dtype=np.uint64).astype(np.uint32)
-            return ((jax.device_put(w), np.zeros(b, np.int64),
+            w = dev_words((b, bitpack.words_per_block(bits, n)))
+            return ((w, np.zeros(b, np.int64),
                      np.full(b, low, np.float32),
                      np.full(b, high, np.float32),
                      np.full(b, pixels, np.int64), np.ones(b, bool),
@@ -831,9 +950,12 @@ def bench_extra_configs():
                 w, mins, lo, hi, pix, per, ids, bits, n,
                 dither="uniform")
 
-        out["decode_uniform_xla_GBps"] = round(
-            slope(dec_u_xla, dec_u_xla_args, 256, 2048,
-                  sync=lambda o: o[:1, 0]), 3)
+        slope(dec_u_xla, dec_u_xla_args, 256, 2048,
+              sync=lambda o: o[:1, 0], key="decode_uniform_xla")
+    _cap_to_hbm(out, 18)
+    out.pop("hbm_slope_cap_GBps", None)  # bench_device reports the cap
+    if "hbm_capped" in out:
+        out["hbm_capped_extra"] = out.pop("hbm_capped")
     return out
 
 
@@ -987,7 +1109,7 @@ def bench_native_baseline(n=1 << 22):
 
 
 _METRIC = ("minh position-column encode+decode throughput/chip "
-           "(bit-exact validated, slope-based)")
+           "(bit-exact validated, median of paired slopes)")
 
 # Incremental result state (VERDICT r3 weak #2): every section writes its
 # numbers here the moment it finishes, so a watchdog or deadline emission
@@ -1039,13 +1161,20 @@ def _emit(partial, error=None):
     backend = _PARTIAL.get("metric_backend")
     metric = (_METRIC if backend is None else
               "minh position-column encode+decode throughput/chip "
-              "(%s, bit-exact validated, slope-based)" % backend)
+              "(%s, bit-exact validated, median of paired slopes)"
+              % backend)
     rec = {
         "metric": metric,
         "value": _PARTIAL["value"],
         "unit": "GB/s",
         "vs_baseline": _PARTIAL["vs_baseline"],
     }
+    # chip-state context at top level: the fixed per-dispatch tunnel
+    # round trip varies with co-tenancy, so round-over-round headline
+    # comparisons need it next to the value, not buried in detail
+    floor = _PARTIAL["detail"].get("dispatch_floor_ms_encode")
+    if floor is not None:
+        rec["dispatch_floor_ms"] = floor
     if _PARTIAL["detail"]:
         # snapshot: the watchdog thread serializes while the main
         # thread may be inserting keys -- dict.copy() is atomic under
@@ -1186,6 +1315,18 @@ def main():
         except Exception as e:  # noqa: BLE001 - baseline is best-effort
             detail["native_baseline_error"] = str(e)[:120]
 
+        # First dispatch, timed on its own: a fresh client's first op
+        # can queue behind a co-tenant for MINUTES (measured 560 s on
+        # 2026-08-20 -- it consumed an entire bench budget inside
+        # "validate").  Isolating it makes chip-queue stalls visible in
+        # the artifact instead of smearing them over the first section.
+        _mark("first_dispatch")
+        import jax.numpy as jnp
+        t_fd = time.perf_counter()
+        np.asarray((jnp.ones((8, 128), jnp.float32) + 1)[0, :1])
+        detail["first_dispatch_wait_s"] = round(
+            time.perf_counter() - t_fd, 1)
+
         _mark("validate")
         from minnow_tpu.ops import validate
 
@@ -1209,15 +1350,54 @@ def main():
         # anywhere past this point, the partial record still has the
         # encode/decode numbers the whole artifact exists to capture.
         _mark("bench_device")
-        try:
-            enc_gbs, dec_gbs, gb, extra = bench_device()
-        except AssertionError as e:
-            # an on-device cross-check caught a kernel divergence the
-            # validation suite missed: disable the kernels, re-run XLA-only
-            os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
-            os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
-            detail["pallas_disabled_after"] = str(e)[:200]
-            enc_gbs, dec_gbs, gb, extra = bench_device()
+        # OOM ladder: the chip is co-tenanted and another client can
+        # hold most of the 16 GB HBM (observed 2026-08-20:
+        # RESOURCE_EXHAUSTED at the 2.15 GB large point twice in one
+        # morning).  Halving the large point quarters peak usage; the
+        # slope estimator still resolves (1024 blocks = 0.54 GB, ~16x
+        # the dispatch-floor work).
+        last_oom = None
+        while True:
+            for b_large in (4096, 2048, 1024, 512):
+                try:
+                    enc_gbs, dec_gbs, gb, extra = bench_device(
+                        b_large=b_large)
+                    last_oom = None
+                    break
+                except AssertionError as e:
+                    # an on-device cross-check caught a kernel
+                    # divergence the validation suite missed: disable
+                    # the kernels, re-run XLA-only
+                    os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
+                    os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
+                    detail["pallas_disabled_after"] = str(e)[:200]
+                    enc_gbs, dec_gbs, gb, extra = bench_device(
+                        b_large=b_large)
+                    last_oom = None
+                    break
+                except Exception as e:  # noqa: BLE001 - see below
+                    if "ResourceExhausted" in str(e) \
+                            or "RESOURCE_EXHAUSTED" in str(e):
+                        detail.setdefault("oom_shrunk_from", []).append(
+                            b_large)
+                        last_oom = e
+                        continue
+                    raise
+            if last_oom is None:
+                break
+            # the whole ladder OOMed: a co-tenant holds nearly all of
+            # HBM (observed 2026-08-20, all four steps, repeatedly).
+            # Tenancy flaps on the minutes scale -- keep waiting and
+            # re-laddering while enough budget remains for a full
+            # measurement pass (~400 s worst case).
+            if _remaining() > 480.0:
+                detail["oom_waited_s"] = detail.get(
+                    "oom_waited_s", 0) + 60
+                time.sleep(60)
+                continue
+            break
+        if last_oom is not None:
+            raise last_oom
         detail.update(extra)
         detail["encode_GBps"] = round(enc_gbs, 3)
         detail["decode_GBps"] = round(dec_gbs, 3)
@@ -1226,7 +1406,14 @@ def main():
         _mark("bench_big_blocks")
         if _remaining() > 150.0:
             try:
-                big = bench_big_blocks()
+                try:
+                    big = bench_big_blocks()
+                except Exception as e:  # noqa: BLE001 - OOM shrink
+                    if "esourceExhausted" not in str(e) \
+                            and "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    detail["bigblock_oom_shrunk"] = True
+                    big = bench_big_blocks(b_large=128, dec_b2=256)
                 detail.update(big)
                 enc_gbs = max(enc_gbs,
                               big.get("encode_xla_bigblock_GBps", 0),
@@ -1248,9 +1435,21 @@ def main():
         # read mode; int/ID encode and text_to_minh are real pipelines);
         # the legacy per-tile encode section runs last -- it exists only
         # as a historical comparison point.
+        def sustained_with_shrink():
+            try:
+                return bench_sustained()
+            except Exception as e:  # noqa: BLE001 - OOM shrink only
+                if "esourceExhausted" not in str(e) \
+                        and "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                os.environ["MINNOW_TPU_SUSTAINED_BATCH_MB"] = "256"
+                out = bench_sustained()
+                out["sustained_oom_shrunk"] = True
+                return out
+
         for name, fn, min_s in (
             ("extra_configs", bench_extra_configs, 150.0),
-            ("sustained", bench_sustained, 180.0),
+            ("sustained", sustained_with_shrink, 180.0),
             ("text_to_minh", _text_to_minh_subprocess, 120.0),
             ("pallas_encode", bench_pallas_encode, 120.0),
         ):
