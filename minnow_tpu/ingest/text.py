@@ -159,9 +159,16 @@ class Reader:
         col_idx = [self._name_index(n) for n in names]
         # integer columns take the exact int64 parse path (reference
         # strconv.Atoi, ref go/text/parse.go:118-121): IDs above 2^53
-        # keep their low bits, and float syntax in an int column errors
-        kinds = [1 if np.issubdtype(np.dtype(d), np.integer) else 0
-                 for d in dtypes]
+        # keep their low bits, and float syntax in an int column errors.
+        # float32 columns (the common case) narrow inside the parser --
+        # same one rounding as the old astype pass, minus the pass.
+        def _kind(d):
+            d = np.dtype(d)
+            if np.issubdtype(d, np.integer):
+                return 1
+            return 2 if d == np.float32 else 0
+
+        kinds = [_kind(d) for d in dtypes]
         cols = native.parse_columns(buf, starts, ends, col_idx,
                                     threads=self.threads,
                                     sep=self.config.separator,

@@ -202,7 +202,10 @@ def parse_columns(buf: bytes, line_starts, line_ends, col_idx,
     """Parse the given column indices of every line.  ``kinds`` gives a
     per-column parse mode: 0 (default) -> float64; 1 -> exact int64
     (reference strconv.Atoi semantics, ref go/text/parse.go:118-121 --
-    exact above 2^53, rejects float syntax, errors on overflow).
+    exact above 2^53, rejects float syntax, errors on overflow);
+    2 -> float32 (narrowed in the parser, one rounding -- identical to
+    a float64 parse followed by ``.astype(np.float32)``, without that
+    whole-array pass).
     Returns a list of arrays, or raises ValueError naming the bad line.
     The native equivalent of the reference's threaded parse loops
     (ref go/text/parse.go:80-174)."""
@@ -214,8 +217,8 @@ def parse_columns(buf: bytes, line_starts, line_ends, col_idx,
     if kinds is None:
         kinds = [0] * len(col_idx)
     kinds = np.ascontiguousarray(kinds, dtype=np.int64)
-    outs = [np.empty(n_lines, dtype=np.int64 if k == 1 else np.float64)
-            for k in kinds]
+    _DT = {0: np.float64, 1: np.int64, 2: np.float32}
+    outs = [np.empty(n_lines, dtype=_DT[int(k)]) for k in kinds]
     if lib is None or (kinds.any()
                        and not hasattr(lib, "mnw_parse_columns_typed")):
         return _parse_columns_py(buf, line_starts, line_ends, col_idx,
@@ -254,7 +257,7 @@ def _parse_columns_py(buf, line_starts, line_ends, col_idx, kinds, outs):
                         raise ValueError("int64 overflow")
                     outs[c][li] = v
                 else:
-                    outs[c][li] = float(fields[ci])
+                    outs[c][li] = float(fields[ci])  # f32 outs narrow
             except ValueError:
                 raise ValueError(
                     "cannot parse requested columns on line %d" % li)

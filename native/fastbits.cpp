@@ -392,7 +392,14 @@ static int64_t parse_lines_fused(
                 v = std::strtod(tmp, &endp);
                 if (endp == tmp) return 1 + li;
             }
-            out[c][li] = v;
+            if (col_kind != nullptr && col_kind[c] == 2) {
+                // float32 column: narrow here (one rounding, identical
+                // to numpy's float64 -> float32 astype), skipping the
+                // caller's whole-array conversion pass
+                ((float*)out[c])[li] = (float)v;
+            } else {
+                out[c][li] = v;
+            }
         }
     }
     return 0;
@@ -440,7 +447,11 @@ static int64_t parse_lines_range(
                 v = std::strtod(tmp, &endp);
                 if (endp == tmp) return 1 + li;
             }
-            out[c][li] = v;
+            if (col_kind != nullptr && col_kind[c] == 2) {
+                ((float*)out[c])[li] = (float)v;
+            } else {
+                out[c][li] = v;
+            }
         }
     }
     return 0;
