@@ -1350,14 +1350,38 @@ def main():
         # anywhere past this point, the partial record still has the
         # encode/decode numbers the whole artifact exists to capture.
         _mark("bench_device")
-        # OOM ladder: the chip is co-tenanted and another client can
-        # hold most of the 16 GB HBM (observed 2026-08-20:
-        # RESOURCE_EXHAUSTED at the 2.15 GB large point twice in one
-        # morning).  Halving the large point quarters peak usage; the
+
+        # HBM-window probe: co-tenant jobs hold ~all of HBM for
+        # 10-25-minute stretches with minute-scale free gaps (observed
+        # 2026-08-20: three consecutive bench runs OOMed at EVERY
+        # ladder rung while standalone runs minutes apart succeeded).
+        # A failed ladder pass costs ~40-60 s of ctx building; a failed
+        # 2.5 GB probe allocation costs ~1 s, so probing every 15 s
+        # catches far more gaps per budget.
+        def hbm_window(nbytes=int(2.5e9)):
+            import jax.numpy as jnp
+            while True:
+                try:
+                    buf = jnp.zeros((nbytes // 4,), jnp.float32)
+                    np.asarray(buf[:1])
+                    del buf
+                    return True
+                except Exception as e:  # noqa: BLE001 - OOM only
+                    if "esourceExhausted" not in str(e) \
+                            and "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    if _remaining() < 480.0:
+                        return False
+                    detail["hbm_window_waits"] = detail.get(
+                        "hbm_window_waits", 0) + 1
+                    time.sleep(15)
+
+        # OOM ladder: halving the large point quarters peak usage; the
         # slope estimator still resolves (1024 blocks = 0.54 GB, ~16x
         # the dispatch-floor work).
         last_oom = None
         while True:
+            hbm_window()
             for b_large in (4096, 2048, 1024, 512):
                 try:
                     enc_gbs, dec_gbs, gb, extra = bench_device(
@@ -1385,15 +1409,10 @@ def main():
                     raise
             if last_oom is None:
                 break
-            # the whole ladder OOMed: a co-tenant holds nearly all of
-            # HBM (observed 2026-08-20, all four steps, repeatedly).
-            # Tenancy flaps on the minutes scale -- keep waiting and
-            # re-laddering while enough budget remains for a full
-            # measurement pass (~400 s worst case).
+            # the whole ladder OOMed even after a window opened (the
+            # co-tenant re-took HBM mid-pass): go back to probing while
+            # enough budget remains for a full measurement pass.
             if _remaining() > 480.0:
-                detail["oom_waited_s"] = detail.get(
-                    "oom_waited_s", 0) + 60
-                time.sleep(60)
                 continue
             break
         if last_oom is not None:
@@ -1406,6 +1425,7 @@ def main():
         _mark("bench_big_blocks")
         if _remaining() > 150.0:
             try:
+                hbm_window()
                 try:
                     big = bench_big_blocks()
                 except Exception as e:  # noqa: BLE001 - OOM shrink
@@ -1458,6 +1478,8 @@ def main():
                 detail.setdefault("skipped_sections", []).append(name)
                 continue
             try:
+                if name != "text_to_minh":  # device sections only
+                    hbm_window()
                 detail.update(fn())
             except Exception as e:  # noqa: BLE001 - secondary, best-effort
                 detail["%s_error" % name] = str(e)[:120]
