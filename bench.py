@@ -1358,31 +1358,47 @@ def main():
         # A failed ladder pass costs ~40-60 s of ctx building; a failed
         # 2.5 GB probe allocation costs ~1 s, so probing every 15 s
         # catches far more gaps per budget.
-        def hbm_window(nbytes=int(2.5e9)):
+        def try_alloc(nbytes):
             import jax.numpy as jnp
+            try:
+                buf = jnp.zeros((nbytes // 4,), jnp.float32)
+                np.asarray(buf[:1])
+                del buf
+                return True
+            except Exception as e:  # noqa: BLE001 - OOM only
+                if "esourceExhausted" not in str(e) \
+                        and "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                return False
+
+        def hbm_window(nbytes=int(2.5e9)):
+            """Block until ``nbytes`` of HBM allocates (then free it),
+            or the budget floor is hit.  Returns the largest ladder
+            start that fits right now."""
             while True:
-                try:
-                    buf = jnp.zeros((nbytes // 4,), jnp.float32)
-                    np.asarray(buf[:1])
-                    del buf
-                    return True
-                except Exception as e:  # noqa: BLE001 - OOM only
-                    if "esourceExhausted" not in str(e) \
-                            and "RESOURCE_EXHAUSTED" not in str(e):
-                        raise
-                    if _remaining() < 480.0:
-                        return False
-                    detail["hbm_window_waits"] = detail.get(
-                        "hbm_window_waits", 0) + 1
-                    time.sleep(15)
+                if try_alloc(nbytes):
+                    # probe upward so the ladder starts at a rung that
+                    # fits: rung peak ~ 3.3x its large-point bytes
+                    for start, need in ((4096, 7.5e9), (2048, 4.5e9)):
+                        if try_alloc(int(need)):
+                            return start
+                    return 1024
+                if _remaining() < 480.0:
+                    return 0
+                detail["hbm_window_waits"] = detail.get(
+                    "hbm_window_waits", 0) + 1
+                time.sleep(15)
 
         # OOM ladder: halving the large point quarters peak usage; the
         # slope estimator still resolves (1024 blocks = 0.54 GB, ~16x
         # the dispatch-floor work).
         last_oom = None
         while True:
-            hbm_window()
+            start_rung = hbm_window() or 512
             for b_large in (4096, 2048, 1024, 512):
+                if b_large > start_rung:
+                    continue
+                diverged = False
                 try:
                     enc_gbs, dec_gbs, gb, extra = bench_device(
                         b_large=b_large)
@@ -1391,22 +1407,36 @@ def main():
                 except AssertionError as e:
                     # an on-device cross-check caught a kernel
                     # divergence the validation suite missed: disable
-                    # the kernels, re-run XLA-only
+                    # the kernels, re-run XLA-only (outside the except
+                    # block -- traceback pinning, see below)
                     os.environ["MINNOW_TPU_PALLAS_ENCODE"] = "0"
                     os.environ["MINNOW_TPU_PALLAS_DECODE"] = "0"
                     detail["pallas_disabled_after"] = str(e)[:200]
-                    enc_gbs, dec_gbs, gb, extra = bench_device(
-                        b_large=b_large)
-                    last_oom = None
-                    break
+                    diverged = True
                 except Exception as e:  # noqa: BLE001 - see below
                     if "ResourceExhausted" in str(e) \
                             or "RESOURCE_EXHAUSTED" in str(e):
                         detail.setdefault("oom_shrunk_from", []).append(
                             b_large)
-                        last_oom = e
+                        # keep only the MESSAGE: holding the exception
+                        # object pins its traceback frames, whose
+                        # locals include the failed attempt's multi-GB
+                        # device buffers -- that self-inflicted leak
+                        # made every rung after the first OOM fail for
+                        # the rest of the run (r5 runs d-i, 2026-08-20)
+                        last_oom = str(e)[:300]
+                        e = None
+                        import gc
+                        gc.collect()
                         continue
                     raise
+                if diverged:
+                    import gc
+                    gc.collect()
+                    enc_gbs, dec_gbs, gb, extra = bench_device(
+                        b_large=b_large)
+                    last_oom = None
+                    break
             if last_oom is None:
                 break
             # the whole ladder OOMed even after a window opened (the
@@ -1416,7 +1446,8 @@ def main():
                 continue
             break
         if last_oom is not None:
-            raise last_oom
+            raise RuntimeError("bench_device OOM after ladder: %s"
+                               % last_oom)
         detail.update(extra)
         detail["encode_GBps"] = round(enc_gbs, 3)
         detail["decode_GBps"] = round(dec_gbs, 3)
@@ -1426,6 +1457,7 @@ def main():
         if _remaining() > 150.0:
             try:
                 hbm_window()
+                big = None
                 try:
                     big = bench_big_blocks()
                 except Exception as e:  # noqa: BLE001 - OOM shrink
@@ -1433,6 +1465,12 @@ def main():
                             and "RESOURCE_EXHAUSTED" not in str(e):
                         raise
                     detail["bigblock_oom_shrunk"] = True
+                if big is None:
+                    # retry OUTSIDE the except block: the live
+                    # exception's traceback pins the failed attempt's
+                    # device buffers (see the ladder comment)
+                    import gc
+                    gc.collect()
                     big = bench_big_blocks(b_large=128, dec_b2=256)
                 detail.update(big)
                 enc_gbs = max(enc_gbs,
@@ -1462,10 +1500,14 @@ def main():
                 if "esourceExhausted" not in str(e) \
                         and "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                os.environ["MINNOW_TPU_SUSTAINED_BATCH_MB"] = "256"
-                out = bench_sustained()
-                out["sustained_oom_shrunk"] = True
-                return out
+            # retry OUTSIDE the except block (traceback pinning; see
+            # the ladder comment)
+            import gc
+            gc.collect()
+            os.environ["MINNOW_TPU_SUSTAINED_BATCH_MB"] = "256"
+            out = bench_sustained()
+            out["sustained_oom_shrunk"] = True
+            return out
 
         for name, fn, min_s in (
             ("extra_configs", bench_extra_configs, 150.0),
