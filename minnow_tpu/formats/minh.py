@@ -110,6 +110,7 @@ def process_float_column(x, col: Column, xp=np) -> np.ndarray:
     """log10 + clamp preprocessing before quantization
     (ref go/minh/minh.go:141-149).  Returns float32."""
     buf = xp.asarray(x, xp.float32)
+    owned = False  # may we clamp in place? (never mutate caller data)
     if col.log != 0:
         if xp is np:
             from .. import native
@@ -119,9 +120,18 @@ def process_float_column(x, col: Column, xp=np) -> np.ndarray:
                 buf.astype(np.float64), np).astype(np.float32)
         else:
             buf = gomath.log10(buf.astype(xp.float64), xp).astype(xp.float32)
+        owned = xp is np
     low = np.float32(col.low)
     high_clamp = np.float32(np.nextafter(np.float32(col.high),
                                          np.float32(-np.inf)))
+    if owned:
+        # in-place twin of the where() pair below: maximum propagates
+        # NaN like where(buf < low) keeps it, and no f32 exists
+        # strictly between high_clamp and high, so minimum(., clamp)
+        # == where(. >= high, clamp)
+        np.maximum(buf, low, out=buf)
+        np.minimum(buf, high_clamp, out=buf)
+        return buf
     buf = xp.where(buf < low, low, buf)
     buf = xp.where(buf >= np.float32(col.high), high_clamp, buf)
     return buf
