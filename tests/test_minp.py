@@ -186,3 +186,26 @@ def test_minp_device_reader_matches_host(tmp_path):
         dev = minp_device.read_vectors(r, dither="none")
         np.testing.assert_array_equal(dev, host)
         r.close()
+
+
+def test_minp_uniform_dither_host_equals_device_bitwise(tmp_path):
+    """One defined uniform stream (VERDICT r4 #5), minp side: host and
+    device bulk reads of the same snapshot agree bitwise in uniform
+    mode (dither keys = container block indices on both paths)."""
+    from minnow_tpu.formats import minp_device
+
+    rng = np.random.default_rng(78)
+    hd = minp.Header(l=100.0, n_side=8, n_total=512)
+    vec = rng.uniform(0, 99.9, (512, 3)).astype(np.float32)
+    fname = str(tmp_path / "u.minp")
+    w = minp.create(fname)
+    w.header(hd, b"", minp.Cell(0, 1, 2), 0.01, True)
+    w.vectors(vec)
+    w.close()
+    for seed in (0, 3):
+        r = minp.open(fname, dither="uniform", seed=seed)
+        host = r.vectors()
+        dev = minp_device.read_vectors(r, dither="uniform", seed=seed)
+        np.testing.assert_array_equal(dev.view(np.uint32),
+                                      host.view(np.uint32))
+        r.close()
