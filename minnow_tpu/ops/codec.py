@@ -248,8 +248,9 @@ def _finish_float_blocks(q, pixels, n, periodic, mask, clamp_q: bool):
     return deltas, mn, maxd, valid
 
 
-@jax.jit
-def float_block_stats32(x, low, pixels, n, periodic, b, eb, m0, m1):
+@partial(jax.jit, static_argnames=("return_q",))
+def float_block_stats32(x, low, pixels, n, periodic, b, eb, m0, m1,
+                        return_q: bool = False):
     """Stats-only float encode prep: one fused HBM read of ``x``, no
     delta materialization.  Returns ``(mn, maxd, m, valid)`` where
     ``m`` is the periodic recenter offset a pack pass must apply --
@@ -257,7 +258,12 @@ def float_block_stats32(x, low, pixels, n, periodic, b, eb, m0, m1):
     Pallas kernel caps block length at 512k; above it, stats here +
     ops/pallas_encode.pack_float_pallas_group).  The recentered min/max
     derive from the one-pass window reduction exactly as in the fused
-    kernels (small window -> [m, m+w); else plain min/max)."""
+    kernels (small window -> [m, m+w); else plain min/max).
+
+    ``return_q=True`` appends the materialized int32 pixel indices (one
+    extra 4 B/elem HBM write): the round-5 q-reuse big-block encode
+    packs q directly instead of re-quantizing in the pack kernel, so
+    the ~50-op quantizer runs ONCE per element instead of twice."""
     from . import fastdiv
 
     width = x.shape[1]
@@ -288,6 +294,8 @@ def float_block_stats32(x, low, pixels, n, periodic, b, eb, m0, m1):
     mn = jnp.where(shifted, m, qmin)
     mx = jnp.where(shifted, m + w - 1, qmax)
     valid = (in_range | ~periodic) & all_exact
+    if return_q:
+        return mn, mx - mn, jnp.where(periodic, m, 0), valid, q
     return mn, mx - mn, jnp.where(periodic, m, 0), valid
 
 

@@ -502,10 +502,16 @@ def _group_call(kernel, b, t_g, r, gw, ge, n_scalars, out_dtype,
 
 
 def _pick_r_group(t_g: int, rows: int = 0) -> int:
-    """Largest 8-multiple <= min(rows or 128, t_g) dividing t_g
+    """Largest 8-multiple <= min(rows or default, t_g) dividing t_g
     (Mosaic sublane blocks/offsets must be 8-multiples; t_g itself is
-    an 8-multiple per supported_group, so 8 always terminates)."""
-    r = max(min(rows or 128, t_g) // 8 * 8, 8)
+    an 8-multiple per supported_group, so 8 always terminates).
+
+    Default chunk rows: 128, except 256 for big blocks (t_g >= 1024):
+    the round-5 on-chip sweep at (64->512, 2^21) read 391 GB/s
+    paired-median at r=256 vs 333 at r=128 (83/164 at 32/64; r >= 512
+    fails Mosaic compile -- VMEM)."""
+    default = 256 if t_g >= 1024 else 128
+    r = max(min(rows or default, t_g) // 8 * 8, 8)
     while t_g % r:
         r -= 8
     return r

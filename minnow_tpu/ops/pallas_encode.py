@@ -768,23 +768,123 @@ def pack_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
       mn.astype(jnp.int32))
 
 
+def _pack_q_kernel_group(bits: int, G: int, q_ref, pix_ref, per_ref,
+                         m_ref, mn_ref, w_ref, qt_scr, wt_scr):
+    """Pack-only chunk kernel: recenter + delta + planar pack of
+    ALREADY-QUANTIZED int32 pixel indices.  The quantizer -- half the
+    fused kernel's per-element cost -- runs once in the stats pass
+    (codec.float_block_stats32(return_q=True)) instead of again here,
+    at the price of one 4 B/elem q round trip through HBM."""
+    from .pallas_codec import _tile_step
+
+    i = pl.program_id(0)
+    zero = jnp.int32(0)
+    bc = jax.lax.bitcast_convert_type
+    qc = q_ref[...]                       # (cs, G*32) int32
+    p = pix_ref[i]
+    m = m_ref[i]
+    per = per_ref[i] != zero
+    qb = qc + jnp.where(qc < m, p, zero)
+    qb = qb - jnp.where(qb >= m + p, p, zero)
+    qc = jnp.where(per, qb, qc)
+    qt_scr[...] = (qc - mn_ref[i]).T      # (G*32, cs) in-VMEM transpose
+    ts = _tile_step(bits)
+
+    def step_body(j, carry):
+        tiles = bc(qt_scr[pl.ds(j * np.int32(ts * 32), ts * 32), :],
+                   jnp.uint32)
+        planar = jnp.concatenate(
+            [_pack_tile_planar(tiles[u * 32:(u + 1) * 32], bits)
+             for u in range(ts)], axis=0)
+        wt_scr[pl.ds(j * np.int32(ts * bits), ts * bits), :] = \
+            bc(planar, jnp.int32)
+        return carry
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // ts), step_body,
+                      zero)
+    w_ref[...] = bc(wt_scr[...].T, jnp.uint32)  # (cs, G*bits)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "n", "interpret",
+                                             "rows"))
+def pack_q_pallas_group(q2d, pixels, periodic, m, mn, bits: int,
+                        n: int, interpret: bool = False,
+                        rows: int = 0):
+    """(B*t/G, G*32) int32 pixel indices + per-block stats ->
+    (B*t/G, G*bits) packed words (the q-reuse big-block second
+    dispatch)."""
+    from .pallas_codec import _pick_r_group, group_tiles
+
+    g = group_tiles(bits)
+    bsz = pixels.shape[0]
+    t_g = (n // 32) // g
+    ge = g * 32
+    gw = g * bits
+    if q2d.shape != (bsz * t_g, ge):
+        raise ValueError("q2d must be (B*t/G, G*32), got %s"
+                         % (q2d.shape,))
+    cs = _pick_r_group(t_g, rows)
+    steps = t_g // cs
+    scalar = pl.BlockSpec((bsz,), lambda i, j: (np.int32(0),),
+                          memory_space=pltpu.SMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    return pl.pallas_call(
+        functools.partial(_pack_q_kernel_group, bits, g),
+        grid=(bsz, steps),
+        in_specs=[pl.BlockSpec((cs, ge),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0)))]
+        + [scalar] * 4,
+        out_specs=pl.BlockSpec((cs, gw),
+                               lambda i, j: (i * np.int32(steps) + j,
+                                             np.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((bsz * t_g, gw), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((ge, cs), jnp.int32),
+                        pltpu.VMEM((gw, cs), jnp.int32)],
+        interpret=interpret,
+        **kwargs,
+    )(q2d,
+      pixels.astype(jnp.int32),
+      periodic.astype(jnp.int32),
+      m.astype(jnp.int32),
+      mn.astype(jnp.int32))
+
+
 def encode_float_pallas_bigblock(x2d, low, b, eb, m0, m1, pixels,
                                  periodic, bits: int, n: int,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 reuse_q: bool = False):
     """Two-dispatch encode for blocks beyond the fused kernel's 512k
-    cap: fused XLA stats pass (one HBM read, no materialization) + the
-    stateless pack kernel.  Same return contract as
-    :func:`encode_float_pallas_group`."""
+    cap.  Same return contract as :func:`encode_float_pallas_group`.
+
+    ``reuse_q=True`` is the round-5 experiment: the stats pass
+    materializes the int32 pixel indices and the pack kernel packs
+    them directly, so the quantizer runs once per element.  Measured
+    SLOWER on v5e (26.7 vs 35.0 GB/s paired-median at (16->256, 2^21),
+    2026-08-20): the q materialization turns the fused stats read into
+    a memory-bound read+write pass, costing more than the ~50-op
+    re-quantize it saves.  Kept non-default as a tested alternative
+    (bytes identical either way; tests/test_pipeline.py)."""
     from . import codec
 
     bsz = low.shape[0]
     lens = jnp.full((bsz,), n, dtype=jnp.int64)
-    mn, maxd, m, valid = codec.float_block_stats32(
-        x2d.reshape(bsz, n), low.astype(jnp.float32),
-        pixels, lens, periodic, b, eb, m0, m1)
-    words = pack_float_pallas_group(
-        x2d, low, b, eb, m0, m1, pixels, periodic, m, mn, bits, n,
-        interpret=interpret)
+    if reuse_q:
+        mn, maxd, m, valid, q = codec.float_block_stats32(
+            x2d.reshape(bsz, n), low.astype(jnp.float32),
+            pixels, lens, periodic, b, eb, m0, m1, return_q=True)
+        words = pack_q_pallas_group(
+            q.reshape(x2d.shape), pixels, periodic, m, mn, bits, n,
+            interpret=interpret)
+    else:
+        mn, maxd, m, valid = codec.float_block_stats32(
+            x2d.reshape(bsz, n), low.astype(jnp.float32),
+            pixels, lens, periodic, b, eb, m0, m1)
+        words = pack_float_pallas_group(
+            x2d, low, b, eb, m0, m1, pixels, periodic, m, mn, bits, n,
+            interpret=interpret)
     return (words, mn.astype(jnp.int64), maxd.astype(jnp.int64),
             valid)
 

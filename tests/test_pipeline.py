@@ -459,3 +459,49 @@ def test_int_encode_pallas_under_mesh(mesh8, monkeypatch):
         payload, mn, bits_i = spec.encode_int_block(x[i, :lens[i]])
         assert enc.payloads[i] == payload, i
         assert (int(enc.mins[i]), int(enc.bits[i])) == (mn, bits_i), i
+
+
+def test_bigblock_reuse_q_matches_legacy_and_group():
+    """The round-5 q-reuse big-block encode (stats pass materializes q,
+    pack-only kernel) is byte-identical to both the round-4
+    re-quantizing two-dispatch and the fused group kernel."""
+    from minnow_tpu.ops import fastdiv, pallas_encode
+
+    rng = np.random.default_rng(23)
+    n = 16384
+    low, high, dx = 0.0, 250.0, 0.001
+    pixels = spec.float_group_pixels(low, high, dx)
+    b = 3
+    x = rng.uniform(0, 249.9, (b, n)).astype(np.float32)
+    wrap = np.concatenate([rng.uniform(0, 2, n // 2),
+                           250.0 - rng.uniform(0, 2, n - n // 2)])
+    x[1] = wrap.astype(np.float32)
+    lowv = np.full(b, low, np.float32)
+    pixv = np.full(b, pixels, np.int64)
+    per = np.array([True, True, False])
+    dxq = np.full(b, spec.quantize_dx(low, high, pixels), np.float32)
+    db, deb, dm0, dm1, ok = fastdiv.divisor_magic(dxq)
+    assert ok.all()
+
+    from minnow_tpu.ops.pallas_codec import group_tiles
+
+    g = group_tiles(18)
+    x2d = x.reshape(-1, g * 32)
+    args = (x2d, lowv, db, deb, dm0, dm1, pixv, per, 18, n)
+    w_new, mn_new, maxd_new, v_new = \
+        pallas_encode.encode_float_pallas_bigblock(
+            *args, interpret=True, reuse_q=True)
+    w_old, mn_old, maxd_old, v_old = \
+        pallas_encode.encode_float_pallas_bigblock(
+            *args, interpret=True, reuse_q=False)
+    np.testing.assert_array_equal(np.asarray(w_new), np.asarray(w_old))
+    np.testing.assert_array_equal(np.asarray(mn_new),
+                                  np.asarray(mn_old))
+    np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old))
+
+    w_g, mn_g, _, v_g = pallas_encode.encode_float_pallas_group(
+        x2d, lowv, db, deb, dm0, dm1, pixv, per, 18, n,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(w_new), np.asarray(w_g))
+    np.testing.assert_array_equal(np.asarray(mn_new),
+                                  np.asarray(mn_g).astype(np.int64))
