@@ -84,3 +84,55 @@ def test_pack_unpack_shard_roundtrip():
                           np.empty(0, np.int64), np.empty(0, np.int64))
     p, m, b, ln = _unpack_shard(_pack_shard(empty))
     assert p == [] and len(m) == len(b) == len(ln) == 0
+
+
+def test_coordinator_gather_chunked_wire_format(monkeypatch):
+    """The KV gather's chunking (blobs > _KV_CHUNK split across keys,
+    count key written LAST) reassembles exactly -- pinned with a fake
+    KV client and a tiny chunk size, since the real multi-process runs
+    ship sub-chunk blobs."""
+    import numpy as np
+
+    import jax
+
+    from minnow_tpu.parallel import distributed as D
+    from minnow_tpu.parallel.pipeline import EncodedBlocks
+
+    store = {}
+
+    class FakeClient:
+        def key_value_set_bytes(self, k, v):
+            store[k] = bytes(v)
+
+        def blocking_key_value_get_bytes(self, k, timeout):
+            return store[k]
+
+        def key_value_delete(self, k):
+            for key in [x for x in store if x.startswith(k)]:
+                del store[key]
+
+    monkeypatch.setattr(D, "_kv_client", lambda: FakeClient())
+    monkeypatch.setattr(D, "_KV_CHUNK", 64)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    rng = np.random.default_rng(0)
+    enc1 = EncodedBlocks(
+        [rng.bytes(z) for z in (200, 0, 977, 64)],
+        np.array([1, -2, 3, 4], np.int64),
+        np.array([8, 0, 19, 64], np.int64),
+        np.array([10, 0, 30, 40], np.int64))
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert D._gather_to_coordinator(enc1) is None
+    assert int(store["minnow_gather/0/1/n"]) > 1  # really multi-chunk
+
+    enc0 = EncodedBlocks([b"head"], np.array([9], np.int64),
+                         np.array([5], np.int64),
+                         np.array([4], np.int64))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    D._GATHER_SEQ[0] -= 1  # same collective call on the coordinator
+    out = D._gather_to_coordinator(enc0)
+    assert out.payloads == [b"head"] + enc1.payloads
+    np.testing.assert_array_equal(out.mins, [9, 1, -2, 3, 4])
+    np.testing.assert_array_equal(out.bits, [5, 8, 0, 19, 64])
+    np.testing.assert_array_equal(out.lens, [4, 10, 0, 30, 40])
+    assert not store  # cleanup deleted the keys
