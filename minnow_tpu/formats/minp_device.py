@@ -4,8 +4,9 @@ blocks through the TPU pipeline.
 The host reader (formats/minp.py) decodes 3*subCells**3 blocks one at a
 time; here each axis's blocks decode in width-bucketed batched device
 calls (the read mirror of minp.Writer(encoder=...)), then one
-reshape/transpose restores file order.  Bit-identical to the host reader
-with dither="none".
+reshape/transpose restores file order.  Bit-identical to the host
+reader in every dither mode (one defined stream, docs/FORMAT.md
+section 6); the default matches the host reader's ("uniform").
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ from . import device_common, minp as minp_fmt
 __all__ = ["read_vectors"]
 
 
-def read_vectors(reader: minp_fmt.Reader, dither: str = "none",
+def read_vectors(reader: minp_fmt.Reader, dither: str = "uniform",
                  seed: int = 0) -> np.ndarray:
     """Equivalent of reader.vectors() via batched device decode."""
     s = reader.cell.sub_cells
