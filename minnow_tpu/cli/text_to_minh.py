@@ -196,7 +196,9 @@ def convert_file(cfg, idx, types, wanted, hlist, out, device=False,
     if timer is not None:
         fr.set_timer(timer)
 
-    fm = minh.create(out)
+    # writer encode pool sized to this job's thread share: with
+    # --jobs=N the default 4-thread pools thrash (see minh.Writer)
+    fm = minh.create(out, encode_workers=min(4, max(1, threads)))
     if device:
         from ..parallel import BlockEncoder
 

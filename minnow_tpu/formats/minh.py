@@ -140,9 +140,15 @@ def process_float_column(x, col: Column, xp=np) -> np.ndarray:
 class Writer:
     """Basic minh writer (ref go/minh/minh.go:40-156)."""
 
-    def __init__(self, fname, file_type: int = BASIC_FILE_TYPE):
+    def __init__(self, fname, file_type: int = BASIC_FILE_TYPE,
+                 encode_workers: int = 0):
         self.f = MinnowWriter(fname)
         self.f.header(struct.pack("<qqq", MAGIC, VERSION, file_type))
+        # column-encode pool size; 0 -> min(4, cores).  Callers running
+        # several writers concurrently (text_to_minh --jobs) pass their
+        # per-job thread share: 4 jobs x 4-thread pools thrashed a
+        # 4-core host at 547 MB/s where 4 x 1 ran 615 (round-5 sweep)
+        self._encode_workers = int(encode_workers)
         self.cols: list[Column] = []
         self.names: list[str] = []
         self.blocks = 0
@@ -211,7 +217,8 @@ class Writer:
                 import os as _os
 
                 self._pool = ThreadPoolExecutor(
-                    max_workers=min(4, _os.cpu_count() or 1))
+                    max_workers=self._encode_workers
+                    or min(4, _os.cpu_count() or 1))
             futs = {i: self._pool.submit(encode_col, i, cols[i])
                     for i in enc_ids}
             encoded = {i: f.result() for i, f in futs.items()}
@@ -249,8 +256,8 @@ class Writer:
         self.close()
 
 
-def create(fname) -> Writer:
-    return Writer(fname)
+def create(fname, encode_workers: int = 0) -> Writer:
+    return Writer(fname, encode_workers=encode_workers)
 
 
 class Reader:
