@@ -146,3 +146,42 @@ def test_parse_columns_bit_equals_python_float():
     want = np.array([float(v) for v in vals])
     np.testing.assert_array_equal(out[0].view(np.uint64),
                                   want.view(np.uint64))
+
+
+def test_parse_columns_fuzz_vs_python():
+    """Generative fuzz of the native field parser against Python's
+    float()/int(): every emitted numeric shape (fixed decimals,
+    exponents, %.17g, long leading zeros, huge ints) must parse
+    bit-identically -- the Clinger fast path may never round
+    differently from strtod."""
+    rng = np.random.default_rng(99)
+    floats, ints = [], []
+    for _ in range(4000):
+        k = rng.integers(0, 6)
+        if k == 0:
+            floats.append(b"%.5f" % rng.uniform(-1e3, 1e3))
+        elif k == 1:
+            floats.append(b"%.6e" % (10.0 ** rng.uniform(-300, 300)
+                                     * (1, -1)[rng.integers(0, 2)]))
+        elif k == 2:
+            floats.append(b"%.17g" % rng.uniform(-1, 1))
+        elif k == 3:
+            floats.append(b"0" * rng.integers(1, 25)
+                          + b"%d.%d" % (rng.integers(0, 99),
+                                        rng.integers(0, 10**9)))
+        elif k == 4:
+            floats.append(b"%d" % rng.integers(-10**18, 10**18))
+        else:
+            floats.append(b"%de%d" % (rng.integers(1, 10**9),
+                                      rng.integers(-30, 30)))
+        ints.append(b"%d" % rng.integers(-2**63, 2**63 - 1,
+                                         dtype=np.int64))
+    buf = b"".join(i + b" " + f + b"\n" for i, f in zip(ints, floats))
+    starts, ends = native.scan_lines(buf)
+    iv, fv = native.parse_columns(buf, starts, ends, [0, 1],
+                                  kinds=[1, 0])
+    exp_f = np.array([float(f) for f in floats])
+    exp_i = np.array([int(i) for i in ints], dtype=np.int64)
+    np.testing.assert_array_equal(fv.view(np.uint64),
+                                  exp_f.view(np.uint64))
+    np.testing.assert_array_equal(iv, exp_i)
