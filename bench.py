@@ -604,12 +604,13 @@ def bench_sustained(batches=None, b=None, n=None):
     streaming loop).
 
     The answer to a FIXED per-dispatch cost (the ~25 ms tunnel round
-    trip) is more bytes per dispatch: batches auto-size to ~1 GB of
-    input each (MINNOW_TPU_SUSTAINED_BATCH_MB overrides), sized so
-    inputs + outstanding outputs stay well inside the 16 GB HBM.  The
-    sync window (3 outstanding) keeps multi-GB outputs from
-    accumulating (round-2's sync-once-at-the-end OOMed HBM at large
-    shapes) while still overlapping dispatch with device work.
+    trip) is more bytes per dispatch: batches auto-size to ~2 GB of
+    input each (MINNOW_TPU_SUSTAINED_BATCH_MB overrides; the round-5
+    sweep read decode 119/143/166 GB/s at 1/1.5/2 GB), with a 2-deep
+    sync window so inputs + outstanding outputs peak ~12 GB of the
+    16 GB HBM (round-2's sync-once-at-the-end OOMed; deeper windows
+    at 1 GB measured no better).  main()'s OOM-shrink ladder retries
+    at 1 GB/3-deep then 256 MB when a co-tenant holds HBM.
     Bytes-per-dispatch is reported so the floor amortization is
     auditable.
 
@@ -640,7 +641,7 @@ def bench_sustained(batches=None, b=None, n=None):
             # still would squeeze the decode window against 16 GB HBM:
             # inputs x2 + words + (window+1) f32 outputs)
             target_mb = float(os.environ.get(
-                "MINNOW_TPU_SUSTAINED_BATCH_MB", "1024"))
+                "MINNOW_TPU_SUSTAINED_BATCH_MB", "2048"))
             b = max(8, int(target_mb * 1e6 / (n * 4)) // 8 * 8)
         else:
             b = 64
@@ -720,7 +721,7 @@ def bench_sustained(batches=None, b=None, n=None):
     dec_consts = (consts[0], jax.device_put(highv), consts[1])
     np.asarray(decode(w0, m0_, *dec_consts)[1])
 
-    window = int(os.environ.get("MINNOW_TPU_SUSTAINED_WINDOW", "3"))
+    window = int(os.environ.get("MINNOW_TPU_SUSTAINED_WINDOW", "2"))
     # outstanding dispatches: overlap without HBM blowup (decode holds
     # window+1 ~1 GB f32 outputs)
 
@@ -1503,20 +1504,28 @@ def main():
         # the legacy per-tile encode section runs last -- it exists only
         # as a historical comparison point.
         def sustained_with_shrink():
-            try:
-                return bench_sustained()
-            except Exception as e:  # noqa: BLE001 - OOM shrink only
-                if "esourceExhausted" not in str(e) \
-                        and "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
-            # retry OUTSIDE the except block (traceback pinning; see
-            # the ladder comment)
-            import gc
-            gc.collect()
-            os.environ["MINNOW_TPU_SUSTAINED_BATCH_MB"] = "256"
-            out = bench_sustained()
-            out["sustained_oom_shrunk"] = True
-            return out
+            # batch/window ladder (see bench_sustained doc): 2 GB
+            # 2-deep peaks ~12 GB HBM, so a co-tenant forces shrinks
+            for batch_mb, window in (("2048", "2"), ("1024", "3"),
+                                     ("256", "3")):
+                os.environ["MINNOW_TPU_SUSTAINED_BATCH_MB"] = batch_mb
+                os.environ["MINNOW_TPU_SUSTAINED_WINDOW"] = window
+                oom = False
+                try:
+                    out = bench_sustained()
+                except Exception as e:  # noqa: BLE001 - OOM only
+                    if "esourceExhausted" not in str(e) \
+                            and "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    oom = True  # retry OUTSIDE the except block
+                    # (traceback pinning; see the ladder comment)
+                if not oom:
+                    if batch_mb != "2048":
+                        out["sustained_oom_shrunk"] = True
+                    return out
+                import gc
+                gc.collect()
+            raise RuntimeError("sustained OOM at every ladder rung")
 
         for name, fn, min_s in (
             ("extra_configs", bench_extra_configs, 150.0),
