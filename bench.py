@@ -436,13 +436,15 @@ def bench_device(n_blk=1 << 17, b_small=256, b_large=4096):
     return enc_gbs, dec_gbs, by2 / 1e9, extra
 
 
-def _cap_to_hbm(d, bits):
+def _cap_to_hbm(d, bits, elem_bytes=4):
     """Cap every slope number in ``d`` at the HBM traffic-model ceiling.
 
-    Both codec directions move 4 B of f32 plus bits/8 packed bytes per
-    element across HBM while the metric counts the 4 B side, so no
-    honest number can exceed HBM_BW * 4/(4 + bits/8) -- 524 GB/s on
-    v5e at 18 bits.  A slope above that is residual estimator noise
+    Both codec directions move ``elem_bytes`` of raw data plus bits/8
+    packed bytes per element across HBM while the metric counts the
+    raw side, so no honest number can exceed
+    HBM_BW * elem_bytes/(elem_bytes + bits/8) -- 524 GB/s on v5e for
+    the f32 codec at 18 bits, 499 for the int64 ID path (8 B elems at
+    41 bits).  A slope above that is residual estimator noise
     (co-tenant drift between the two timing points); the reported
     number takes the cap and the raw value is preserved under *_raw
     for diagnosis.  Returns the cap (None off-TPU / unknown device)."""
@@ -451,7 +453,7 @@ def _cap_to_hbm(d, bits):
     hbm = _hbm_bw(jax.devices()[0].device_kind)
     if not hbm:
         return None
-    cap = hbm * 4.0 / (4.0 + bits / 8.0)
+    cap = hbm * elem_bytes / (elem_bytes + bits / 8.0)
     # Cap the measurement keys FIRST: the cap entry itself rounds up
     # (524.16 -> 524.2 on v5e at 18 bits) and must never self-flag by
     # appearing in the iteration set (round-4 artifact pollution).
@@ -962,7 +964,17 @@ def bench_extra_configs():
 
         slope(dec_u_xla, dec_u_xla_args, 256, 2048,
               sync=lambda o: o[:1, 0], key="decode_uniform_xla")
+    # per-path traffic models: the int64 ID paths move 8 B elems at 41
+    # packed bits (ceiling ~499 GB/s on v5e), everything else is the
+    # 4 B / 18-bit f32 codec model (~524)
+    d_int = {k: out.pop(k) for k in list(out)
+             if k.startswith("int64_id_")}
     _cap_to_hbm(out, 18)
+    _cap_to_hbm(d_int, 41, elem_bytes=8)
+    d_int.pop("hbm_slope_cap_GBps", None)
+    if "hbm_capped" in d_int:
+        out.setdefault("hbm_capped", []).extend(d_int.pop("hbm_capped"))
+    out.update(d_int)
     out.pop("hbm_slope_cap_GBps", None)  # bench_device reports the cap
     if "hbm_capped" in out:
         out["hbm_capped_extra"] = out.pop("hbm_capped")

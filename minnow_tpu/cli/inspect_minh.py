@@ -25,9 +25,12 @@ import numpy as np
 from ..formats import minh
 
 
-def _plot(r, read_floats, out_png):
+def _plot(r, read_col, out_png):
     """The reference's visual sanity checks (ref scripts/test_minh.py):
-    x-y slice (boundary-colored when available) + mass function."""
+    x-y slice (boundary-colored when available) + mass function.
+    ``read_col`` routes each column through the device or host reader
+    by its type (raw Float32/Int64 columns have nothing to decode on
+    device)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -46,14 +49,13 @@ def _plot(r, read_floats, out_png):
     axes = np.atleast_1d(axes)
     for ax, panel in zip(axes, panels):
         if panel == "slice":
-            cols = read_floats(["x", "y"])
-            x, y = cols["x"], cols["y"]
+            x, y = read_col("x"), read_col("y")
             keep = np.ones(len(x), bool)
             if "z" in have:  # the reference's thin-slice cut
-                z = read_floats(["z"])["z"]
+                z = read_col("z")
                 keep &= z < (r.l / 5 if r.l else np.median(z))
             if "boundary" in have:
-                bnd = r.ints(["boundary"])["boundary"]
+                bnd = read_col("boundary")
                 ax.plot(x[keep & (bnd == 0)], y[keep & (bnd == 0)],
                         ".", ms=1, c="r", label="interior")
                 ax.plot(x[keep & (bnd != 0)], y[keep & (bnd != 0)],
@@ -68,7 +70,7 @@ def _plot(r, read_floats, out_png):
                 ax.set_ylim(0, r.l)
             ax.set_title("position slice")
         else:
-            mvir = read_floats(["mvir"])["mvir"]
+            mvir = read_col("mvir")
             mvir = mvir[mvir > 0]
             ax.hist(np.log10(mvir.astype(np.float64)), bins=40,
                     histtype="step", color="k")
@@ -121,27 +123,30 @@ def main(argv=None):
         read_floats = r.floats
         read_ints = r.ints
 
-    names = argv[1:] or r.names
-    for name in names:
-        c = r.names.index(name)
-        col = r.columns[c]
+    def read_col(name):
         # compressed columns decode on device; raw fixed columns are a
         # plain host memcpy (nothing for the device to decode)
+        col = r.columns[r.names.index(name)]
         if col.type == minh.Float:
-            data = read_floats([name])[name]
-        elif col.type == minh.Int:
-            data = read_ints([name])[name]
-        elif col.type == minh.Float32:
-            data = r.floats([name])[name]
-        elif col.type == minh.Int64:
-            data = r.ints([name])[name]
-        else:
+            return read_floats([name])[name]
+        if col.type == minh.Int:
+            return read_ints([name])[name]
+        if col.type in (minh.Float32, minh.Float64):
+            return r.floats([name])[name]
+        return r.ints([name])[name]
+
+    names = argv[1:] or r.names
+    for name in names:
+        col = r.columns[r.names.index(name)]
+        if col.type not in (minh.Float, minh.Int, minh.Float32,
+                            minh.Int64):
             continue
+        data = read_col(name)
         print("%-20s min=%-12.6g max=%-12.6g mean=%-12.6g"
               % (name, data.min(), data.max(),
                  float(np.mean(data.astype(np.float64)))))
     if plot_out:
-        _plot(r, read_floats, plot_out)
+        _plot(r, read_col, plot_out)
     r.close()
 
 

@@ -95,15 +95,38 @@ def group_decode(words, mins, lows, highs, pixels, periodic, bits, n,
             return None
         k1, k2 = (np.asarray(k) for k in codec.dither_keys(
             np.asarray(block_ids, np.int64), int(seed)))
-        dec = np.asarray(pallas_codec.decode_float_pallas_group(
+        dec = _run_kernel(lambda: pallas_codec.decode_float_pallas_group(
             words2d, mins, lows, highs, pixels, periodic, int(bits),
             int(n_pad), dither="uniform", interpret=INTERPRET,
             key1=k1, key2=k2))
+        if dec is None:
+            return None
         return dec.reshape(len(words), n_pad)[:, :n]
-    dec = np.asarray(pallas_codec.decode_float_pallas_group(
+    dec = _run_kernel(lambda: pallas_codec.decode_float_pallas_group(
         words2d, mins, lows, highs, pixels, periodic, int(bits),
         int(n_pad), dither=dither, interpret=INTERPRET))
+    if dec is None:
+        return None
     return dec.reshape(len(words), n_pad)[:, :n]
+
+
+def _run_kernel(fn):
+    """Run a kernel call; fall back to the XLA path (None) on COMPILE
+    or resource failures only.  The selfcheck gates certify the kernels
+    at canonical shapes, but Mosaic's VMEM budget can reject an unusual
+    (width, block-length) combination the canonical shapes never hit --
+    a bulk read must degrade, not crash.  Genuine kernel exceptions
+    (assertion/shape bugs) still propagate."""
+    try:
+        return np.asarray(fn())
+    except Exception as e:  # noqa: BLE001 - classified below
+        msg = str(e)
+        if ("remote_compile" in msg or "Mosaic" in msg
+                or "vmem" in msg.lower()
+                or "RESOURCE_EXHAUSTED" in msg
+                or "ResourceExhausted" in msg):
+            return None
+        raise
 
 
 def group_decode_ints(words, mins, bits, n):

@@ -36,11 +36,18 @@ def _gather_raw(reader, c: int):
     return blocks
 
 
-def read_floats(reader: minh_mod.Reader, names, dither: str = "uniform",
-                seed: int = 0):
+def read_floats(reader: minh_mod.Reader, names, dither: str = None,
+                seed: int = None):
     """Read float columns via batched device decode; returns
     {name: float32 array} over all blocks concatenated (equivalent to
-    reader.floats)."""
+    reader.floats).  ``dither``/``seed`` default to the READER's
+    configured mode, so device bulk reads agree bitwise with
+    ``reader.floats`` however the file was opened (one defined stream,
+    docs/FORMAT.md section 6)."""
+    if dither is None:
+        dither = reader.f.dither
+    if seed is None:
+        seed = reader.f.seed
     out = {}
     for name in names:
         c = reader._col(name)

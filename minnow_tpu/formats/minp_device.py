@@ -19,9 +19,16 @@ from . import device_common, minp as minp_fmt
 __all__ = ["read_vectors"]
 
 
-def read_vectors(reader: minp_fmt.Reader, dither: str = "uniform",
-                 seed: int = 0) -> np.ndarray:
-    """Equivalent of reader.vectors() via batched device decode."""
+def read_vectors(reader: minp_fmt.Reader, dither: str = None,
+                 seed: int = None) -> np.ndarray:
+    """Equivalent of reader.vectors() via batched device decode.
+    ``dither``/``seed`` default to the READER's configured mode, so
+    device bulk reads agree bitwise with ``reader.vectors()`` however
+    the file was opened."""
+    if dither is None:
+        dither = reader.f.dither
+    if seed is None:
+        seed = reader.f.seed
     s = reader.cell.sub_cells
     s3 = s * s * s
     if reader.f.blocks() != 3 * s3:

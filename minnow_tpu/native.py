@@ -31,11 +31,19 @@ def _load():
     _tried = True
     # Always invoke make: its fastbits.cpp dependency makes this a no-op
     # when the .so is fresh and a rebuild when the source moved past a
-    # stale build/ left by an older checkout.  Best-effort -- with no
+    # stale build/ left by an older checkout.  Serialized under a file
+    # lock: concurrent first-use processes (pytest -n, --jobs fan-outs)
+    # would otherwise race g++ writing the .so in place and a sibling
+    # could dlopen a half-written file.  Best-effort -- with no
     # compiler we still load whatever .so exists.
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+        os.makedirs(os.path.join(_NATIVE_DIR, "build"), exist_ok=True)
+        import fcntl
+        with open(os.path.join(_NATIVE_DIR, "build", ".lock"),
+                  "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
     except Exception:
         pass
     if not os.path.exists(_LIB_PATH):
