@@ -501,18 +501,20 @@ def _group_call(kernel, b, t_g, r, gw, ge, n_scalars, out_dtype,
     )
 
 
-def _pick_r_group(t_g: int, rows: int = 0, G: int = 128) -> int:
+def _pick_r_group(t_g: int, rows: int = 0, G: int = 128,
+                  bits: int = 32) -> int:
     """Largest 8-multiple <= min(rows or default, t_g) dividing t_g
     (Mosaic sublane blocks/offsets must be 8-multiples; t_g itself is
     an 8-multiple per supported_group, so 8 always terminates).
 
     Default chunk rows: 128, except 256 for big blocks (t_g >= 1024)
-    at G=64 widths: the round-5 on-chip sweep at (64->512, 2^21,
-    bits=18) read 391 GB/s paired-median at r=256 vs 333 at r=128
-    (83/164 at 32/64; r >= 512 fails Mosaic compile -- VMEM).  G=128
-    widths keep 128: their blocks/scratch are twice as wide, putting
-    r=256 at the same VMEM footprint that failed to compile."""
-    default = 256 if (t_g >= 1024 and G <= 64) else 128
+    at narrow G=64 widths: the round-5 on-chip sweep at (64->512,
+    2^21, bits=18) read 391 GB/s paired-median at r=256 vs 333 at
+    r=128 (83/164 at 32/64).  The Mosaic-compile envelope was
+    certified per width on chip (2026-08-20, t_g=1024): r=256
+    compiles through G*bits = 1280 (bits <= 20 at G=64) and fails
+    from 1408 (bits >= 22) -- wider words keep 128."""
+    default = 256 if (t_g >= 1024 and G * bits <= 1280) else 128
     r = max(min(rows or default, t_g) // 8 * 8, 8)
     while t_g % r:
         r -= 8
@@ -578,7 +580,7 @@ def decode_float_pallas_group(words2d, mins, low, high, pixels,
             jnp.float32, interpret, scalar_len=b)
         return call(*args)
 
-    r = _pick_r_group(t_g, rows, G)
+    r = _pick_r_group(t_g, rows, G, bits)
     call = _group_call(
         functools.partial(_decode_kernel_group, bits, G, dither),
         b, t_g, r, gw, ge, n_scalars, jnp.float32, interpret)
@@ -599,7 +601,7 @@ def unpack_pallas_group(words2d, bits: int, n: int,
     if words2d.shape != (b * t_g, gw) or b * t_g != m:
         raise ValueError("words2d must be (B*t/G, G*bits), got %s"
                          % (words2d.shape,))
-    r = _pick_r_group(t_g, rows, G)
+    r = _pick_r_group(t_g, rows, G, bits)
     call = _group_call(functools.partial(_unpack_kernel_group, bits, G),
                        b, t_g, r, gw, G * 32, 0, jnp.uint32, interpret)
     return call(words2d)
@@ -653,7 +655,7 @@ def unpack_pallas_group64(words2d, bits: int, n: int,
     if words2d.shape != (b * t_g, gw) or b * t_g != m:
         raise ValueError("words2d must be (B*t/G, G*bits), got %s"
                          % (words2d.shape,))
-    r = _pick_r_group(t_g, rows, G)
+    r = _pick_r_group(t_g, rows, G, bits)
     steps = t_g // r
     kwargs = {}
     if not interpret:

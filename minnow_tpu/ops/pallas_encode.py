@@ -732,7 +732,7 @@ def pack_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
     from .pallas_codec import _pick_r_group
 
     # chunk rows: an 8-multiple dividing t_g (Mosaic sublane constraint)
-    cs = _pick_r_group(t_g, rows, g)
+    cs = _pick_r_group(t_g, rows, g, bits)
     steps = t_g // cs
 
     scalar = pl.BlockSpec((bsz,), lambda i, j: (np.int32(0),),
@@ -822,7 +822,7 @@ def pack_q_pallas_group(q2d, pixels, periodic, m, mn, bits: int,
     if q2d.shape != (bsz * t_g, ge):
         raise ValueError("q2d must be (B*t/G, G*32), got %s"
                          % (q2d.shape,))
-    cs = _pick_r_group(t_g, rows, g)
+    cs = _pick_r_group(t_g, rows, g, bits)
     steps = t_g // cs
     scalar = pl.BlockSpec((bsz,), lambda i, j: (np.int32(0),),
                           memory_space=pltpu.SMEM)
@@ -964,7 +964,7 @@ def pack_int_pallas_group(dlo2d, dhi2d, bits: int, n: int,
                          % (dlo2d.shape,))
     rows_total = dlo2d.shape[0]
     t_g = (n // 32) // g
-    cs = _pick_r_group(t_g, rows, g)
+    cs = _pick_r_group(t_g, rows, g, bits)
     steps = rows_total // cs
 
     kwargs = {}
@@ -1074,7 +1074,7 @@ def encode_float_pallas_group(x2d, low, b, eb, m0, m1, pixels, periodic,
     from .pallas_codec import _pick_r_group
 
     # chunk rows: an 8-multiple dividing t_g (Mosaic sublane constraint)
-    cs = _pick_r_group(t_g, rows, g)
+    cs = _pick_r_group(t_g, rows, g, bits)
 
     # merge kpb consecutive blocks per grid instance at small t_g (the
     # per-instance overhead otherwise dominates; see the kernel doc).
