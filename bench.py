@@ -46,15 +46,6 @@ class _Timed(float):
         return self.reps[-1] / self.reps[0] if self.reps[0] > 0 else 0.0
 
 
-def _min_timed(a, b):
-    """Combine two _Timed measurements of the same quantity: best of
-    both passes, pooled rep distribution.  None-propagating (a path
-    disabled in one pass stays whatever the other pass saw)."""
-    if a is None or b is None:
-        return a if b is None else b
-    return _Timed(min(float(a), float(b)), a.reps + b.reps)
-
-
 # Peak HBM bandwidth per device generation (GB/s, vendor-published).
 # Used as a physical ceiling on slope-based throughput numbers: a slope
 # that implies more HBM traffic than the memory system can move is a
@@ -73,33 +64,6 @@ def _hbm_bw(device_kind):
         if str(device_kind).startswith(prefix):
             return bw
     return None
-
-
-def _time(fn, *args, iters=2, reps=5, sync=lambda out: out[1]):
-    """Best-of-reps average seconds per call, synchronized by downloading
-    a small output each iteration (block_until_ready on the tunneled
-    device returns before remote completion; a device->host fetch does
-    not).  min-of-reps rejects tunnel latency spikes.  Each iteration
-    syncs immediately: at multi-GB shapes holding several outputs in
-    flight exhausts the 16 GB HBM, and the serialized per-dispatch
-    round-trip floor is identical at both slope sizes so it cancels.
-    Returns a _Timed (float subclass) carrying the full rep list.
-
-    iters=2/reps=5 (12 dispatches per point, was 20): section timings
-    showed the full run cannot fit the 19-min budget at 20 dispatches
-    per point once co-tenant load slows the chip -- the late sections
-    (uniform-dither decode, int encode, text_to_minh) were budget-gated
-    out of three consecutive full runs.  Median/spread over 5 reps
-    still separates tenancy noise from regressions."""
-    np.asarray(sync(fn(*args)))  # warmup / compile
-    np.asarray(sync(fn(*args)))  # settle placement
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            np.asarray(sync(fn(*args)))
-        times.append((time.perf_counter() - t0) / iters)
-    return _Timed(min(times), times)
 
 
 def _pallas_enc_on() -> bool:

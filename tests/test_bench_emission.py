@@ -92,10 +92,9 @@ def test_midrun_raise_emits_partial_results():
 
 def test_hbm_slope_cap_and_min_timed():
     """The slope honesty guards: _cap_to_hbm must replace any slope
-    past the HBM traffic-model ceiling with the cap (raw preserved),
-    and _min_timed must pool two _Timed passes taking the best.  Pure
-    helpers -- no device needed (observed trigger: a 1120 GB/s decode
-    "slope" on a v5e whose ceiling at 18 bits is 524 GB/s)."""
+    past the HBM traffic-model ceiling with the cap (raw preserved).
+    Pure helpers -- no device needed (observed trigger: a 1120 GB/s
+    decode "slope" on a v5e whose ceiling at 18 bits is 524 GB/s)."""
     import sys
     sys.path.insert(0, REPO)
     import bench
@@ -105,11 +104,7 @@ def test_hbm_slope_cap_and_min_timed():
     assert bench._hbm_bw("cpu") is None
 
     a = bench._Timed(0.010, [0.010, 0.014, 0.030])
-    b = bench._Timed(0.008, [0.008, 0.020])
-    m = bench._min_timed(a, b)
-    assert float(m) == 0.008 and len(m.reps) == 5
-    assert bench._min_timed(a, None) is a
-    assert bench._min_timed(None, None) is None
+    assert float(a) == 0.010 and a.med == 0.014 and a.spread == 3.0
 
     d = {"decode_pallas_group_GBps": 1120.781,
          "decode_pallas_group_GBps_med": 810.9,
