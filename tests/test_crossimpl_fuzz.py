@@ -238,8 +238,16 @@ def test_fuzz_float_groups_reference_reader(tmp_path):
                 np.testing.assert_array_equal(
                     q_rec, q_expect,
                     err_msg="seed %d block %d pixel recovery" % (s, b))
+                # value sanity bound is 2*dx, not dx: quantization is
+                # floor(RN32(diff/dx)) -- the same f32 arithmetic as
+                # the reference (ref go/group.go:312-320) -- so a value
+                # within f32 rounding of a pixel boundary can land one
+                # pixel over, and |x - x_hat| < 2*dx is the provable
+                # contract.  Exactness is pinned by the pixel-recovery
+                # assert above (found at seed 597 of the round-5
+                # 3000-seed soak: error 1.001*dx with q still exact).
                 assert np.max(np.abs(got - x.astype(np.float64))) <= \
-                    dx64 * 1.0001, "seed %d value contract" % s
+                    2 * dx64 * 1.0001, "seed %d value contract" % s
                 b += 1
 
 
