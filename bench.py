@@ -238,9 +238,14 @@ def _group_xla(ctx):
     dec_args = ctx.dec_args()
 
     def check_roundtrip():
+        # 2*dx, not dx: floor(RN32(diff/dx)) can land one pixel over
+        # for values within f32 rounding of a boundary (docs/FORMAT.md
+        # section 6; round-5 3000-seed soak).  An AssertionError here
+        # disables the kernels for the whole run, so the bound must be
+        # the provable one, not the common case.
         xhat = ctx.decode(*dec_args)
         assert float(ctx.max_perr(xhat, ctx.x)) \
-            <= ctx.dx * (1 + 1e-4), "on-chip roundtrip broke"
+            <= 2 * ctx.dx * (1 + 1e-4), "on-chip roundtrip broke"
 
     return [("encode_xla", ctx.encode, enc_args, lambda o: o[1]),
             ("decode_xla", ctx.decode, dec_args, lambda o: o[0, :1])], \
